@@ -1,0 +1,157 @@
+"""VIR rewrite passes (reference Vlite.hs:1292-1417).
+
+The pass engine is a bottom-up memoized rewriter that preserves top-level
+output names.  Passes:
+
+* redundant_range  — RangeV-of-RangeV collapse (Vlite.hs:1295-1299)
+* algebraic_identities — x&x=x, x|x=x, x&0=0, x|0=x, shift-by-0, zero-shift,
+  gather/scatter by an identity range (Vlite.hs:1301-1330)
+* lowering — Max/Min/Neq into compare+arith combos (Vlite.hs:1332-1340).
+  The TPU engine implements Min/Max/Neq natively, so this pass exists for
+  VDL-conformance emission only and is *off* in the engine pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+from . import mplan as M
+from .vir import (Binop, CrossProduct, Fold, GATHER, Like, Load, Partition,
+                  RangeC, RangeV, SCATTER, Semisort, Shuffle, Vexp, VShuffle,
+                  Vx, complete, eq_, gt_, if_then_else, lt_, ones_, sub_)
+
+Rule = Callable[[Vx], Optional[Vexp]]
+
+
+def _is_const_range(v: Vexp, val: int) -> bool:
+    return isinstance(v.vx, RangeV) and v.vx.rmin == val and v.vx.rstep == 0
+
+
+def redundant_range(vx: Vx) -> Optional[Vexp]:
+    if isinstance(vx, RangeV) and isinstance(vx.rref.vx, RangeV):
+        return complete(RangeV(rmin=vx.rmin, rstep=vx.rstep,
+                               rref=vx.rref.vx.rref))
+    return None
+
+
+def algebraic_identities(vx: Vx) -> Optional[Vexp]:
+    if isinstance(vx, Binop):
+        op, l, r = vx.binop, vx.left, vx.right
+        if op in (M.BITAND, M.BITOR) and l == r:
+            return l
+        if op == M.BITAND and _is_const_range(l, 0):
+            return l
+        if op == M.BITAND and _is_const_range(r, 0):
+            return r
+        if op == M.BITOR and _is_const_range(l, 0):
+            return r
+        if op == M.BITOR and _is_const_range(r, 0):
+            return l
+        if op == M.BITSHIFT and _is_const_range(l, 0):
+            return l  # zeros stay constant
+        if op == M.BITSHIFT and _is_const_range(r, 0):
+            return l  # no-op shift
+    if isinstance(vx, Shuffle) and vx.shop == SCATTER:
+        p = vx.shpos.vx
+        if isinstance(p, RangeV) and p.rmin == 0 and p.rstep == 1:
+            return vx.shsource
+    if isinstance(vx, Shuffle) and vx.shop == GATHER:
+        p = vx.shpos.vx
+        if (isinstance(p, RangeV) and p.rmin == 0 and p.rstep == 1
+                and p.rref == vx.shsource):
+            return vx.shsource
+    return None
+
+
+def lowering(vx: Vx) -> Optional[Vexp]:
+    if isinstance(vx, Binop):
+        op, l, r = vx.binop, vx.left, vx.right
+        if op == M.MAX:
+            return if_then_else(gt_(l, r), l, r)
+        if op == M.MIN:
+            return if_then_else(lt_(l, r), l, r)
+        if op == M.NEQ:
+            return sub_(ones_(l), eq_(l, r))
+    return None
+
+
+def _transform(rule: Rule, v: Vexp, memo: Dict[int, Vexp]) -> Vexp:
+    """Vlite.hs:1358-1417, memoized on the structural key."""
+    hit = memo.get(v.skey)
+    if hit is not None:
+        if v.name is not None and hit.name != v.name:
+            hit = hit.with_(name=v.name)
+        return hit
+
+    vx = v.vx
+    if isinstance(vx, Load):
+        ans = v  # metadata for Load needs the catalog; keep node intact
+    else:
+        rec = lambda c: _transform(rule, c, memo)
+        if isinstance(vx, CrossProduct):
+            new = CrossProduct(left=rec(vx.left), right=rec(vx.right),
+                               variant=vx.variant)
+        elif isinstance(vx, RangeC):
+            new = vx
+        elif isinstance(vx, Semisort):
+            new = Semisort(sdata=rec(vx.sdata))
+        elif isinstance(vx, RangeV):
+            new = RangeV(rmin=vx.rmin, rstep=vx.rstep, rref=rec(vx.rref))
+        elif isinstance(vx, Binop):
+            new = Binop(binop=vx.binop, left=rec(vx.left), right=rec(vx.right))
+        elif isinstance(vx, Shuffle):
+            new = Shuffle(shop=vx.shop, shsource=rec(vx.shsource),
+                          shpos=rec(vx.shpos),
+                          shshape=rec(vx.shshape) if vx.shshape else None)
+        elif isinstance(vx, Fold):
+            new = Fold(foldop=vx.foldop, fgroups=rec(vx.fgroups),
+                       fdata=rec(vx.fdata))
+        elif isinstance(vx, Partition):
+            new = Partition(pivots=rec(vx.pivots), pdata=rec(vx.pdata))
+        elif isinstance(vx, Like):
+            new = Like(ldata=rec(vx.ldata), lpattern=vx.lpattern,
+                       lcol=vx.lcol)
+        elif isinstance(vx, VShuffle):
+            new = VShuffle(varg=rec(vx.varg))
+        else:
+            raise TypeError(vx)
+        fired = rule(new)
+        anon = complete(new) if fired is None else fired
+        # preserve name/comment/info across the rewrite (Vlite.hs:1365)
+        ans = anon.with_(name=v.name, comment=v.comment, info=v.info)
+    memo[v.skey] = ans
+    return ans
+
+
+def xform(rule: Rule, vexps: List[Vexp]) -> List[Vexp]:
+    """Apply a rule to a DAG, preserving top-level names (Vlite.hs:1351-1356)."""
+    memo: Dict[int, Vexp] = {}
+    out = []
+    for v in vexps:
+        new = _transform(rule, v, memo)
+        out.append(new.with_(name=v.name))
+    return out
+
+
+def redundant_range_pass(vs: List[Vexp]) -> List[Vexp]:
+    return xform(redundant_range, vs)
+
+
+def algebraic_identities_pass(vs: List[Vexp]) -> List[Vexp]:
+    return xform(algebraic_identities, vs)
+
+
+def lowering_pass(vs: List[Vexp]) -> List[Vexp]:
+    return xform(lowering, vs)
+
+
+def engine_passes(vs: List[Vexp]) -> List[Vexp]:
+    """Cleanup pipeline for the TPU engine (MainFuns.hs:184-186 minus the
+    Max/Min lowering, which the engine executes natively)."""
+    return algebraic_identities_pass(redundant_range_pass(vs))
+
+
+def reference_passes(vs: List[Vexp]) -> List[Vexp]:
+    """The reference's full ``-c`` pipeline, for conformance emission."""
+    return algebraic_identities_pass(lowering_pass(redundant_range_pass(vs)))

@@ -1,0 +1,1163 @@
+"""Vector IR: the data-parallel op DAG the TPU engine executes.
+
+Semantics of reference src/Vlite.hs (the heart of the reference compiler),
+re-designed in two places for TPU execution:
+
+* **Fold semantics.** The reference emits group-bys as
+  Partition -> Scatter(sort) -> Fold-over-contiguous-runs, leaning on the
+  Voodoo backend's scatter machinery (Vlite.hs:1048-1098).  Here ``Fold``
+  is defined directly on *group ids*: ``Fold{op, fgroups, fdata}`` where
+  fgroups holds ids in ``[0, domain)`` aggregates fdata per distinct id and
+  outputs one row per occupied id in ascending id order.  The engine picks a
+  dense (segment-reduce) or sparse (sort-based) kernel from the static
+  domain bound.  ``FSel`` keeps its reference meaning: positions of nonzero
+  entries (stream compaction, Vlite.hs:331-335).
+
+* **Bounds tightness.** Metadata inference follows Vlite.hs:269-467 but
+  bounds are kept *sound* (they size real HBM buffers here, unlike the
+  reference where they are hints): RangeV uses ``rmin + (count-1)*rstep``,
+  Scatter output size is ``pos_upper_bound + 1``, and division by a range
+  containing zero widens to int64 bounds.
+
+Every node carries ColInfo (bounds / count upper bound / storage + display
+type / trailing zeros), lineage ("these values are column C gathered through
+mask M", Vlite.hs:136-166), a uniqueness flag, and a structural hash-cons key
+used for CSE and memoized passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple, Union
+
+from . import mplan as M
+from .catalog import (AGG_SERIAL, ColInfo, Config, DIM_FACT, FACT_DIM,
+                      FKInstance)
+from .mtypes import (DDate, DDecimal, DString, DType, INT64_MAX, INT64_MIN,
+                     SDecimal, SInt32, SInt64, SType, stype_of_mtype,
+                     dtype_of_mtype)
+from .names import Name, NameTable, name_str
+
+UNIQUE, ANY = "Unique", "Any"
+GATHER, SCATTER = "Gather", "Scatter"
+FSUM, FMAX, FMIN, FSEL, FCHOOSE = "FSum", "FMax", "FMin", "FSel", "FChoose"
+COUTER, CINNER = "COuter", "CInner"
+
+
+# ------------------------------------------------------------------ node defs
+@dataclass(frozen=True)
+class Load:
+    name: Name
+
+
+@dataclass(frozen=True)
+class RangeV:
+    rmin: int
+    rstep: int
+    rref: "Vexp"  # sized like this vector
+
+
+@dataclass(frozen=True)
+class RangeC:
+    rmin: int
+    rstep: int
+    rcount: int
+
+
+@dataclass(frozen=True)
+class Binop:
+    binop: str  # M.GT etc
+    left: "Vexp"
+    right: "Vexp"
+
+
+@dataclass(frozen=True)
+class Shuffle:
+    shop: str  # GATHER | SCATTER
+    shsource: "Vexp"
+    shpos: "Vexp"
+    shshape: Optional["Vexp"] = None
+
+
+@dataclass(frozen=True)
+class Fold:
+    foldop: str
+    fgroups: "Vexp"
+    fdata: "Vexp"
+
+
+@dataclass(frozen=True)
+class Semisort:
+    sdata: "Vexp"
+
+
+@dataclass(frozen=True)
+class Partition:
+    pivots: "Vexp"
+    pdata: "Vexp"
+
+
+@dataclass(frozen=True)
+class Like:
+    ldata: "Vexp"
+    lpattern: str
+    lcol: Name
+
+
+@dataclass(frozen=True)
+class VShuffle:
+    varg: "Vexp"
+
+
+@dataclass(frozen=True)
+class CrossProduct:
+    left: "Vexp"
+    right: "Vexp"
+    variant: str  # COUTER | CINNER
+
+
+Vx = Union[Load, RangeV, RangeC, Binop, Shuffle, Fold, Semisort, Partition,
+           Like, VShuffle, CrossProduct]
+
+
+@dataclass(frozen=True)
+class Lineage:
+    col: Name
+    mask: "Vexp"
+
+
+@dataclass(frozen=True, eq=False)
+class Vexp:
+    vx: Vx
+    info: ColInfo
+    lineage: Optional[Lineage]
+    name: Optional[Name]
+    skey: int  # structural hash-cons key; clones (renames) keep it
+    quant: str = ANY
+    comment: str = ""
+
+    # equality/hash by structural key, mirroring the reference's memoized
+    # sha1 identity (Vlite.hs:152-157): renamed clones compare equal.
+    def __eq__(self, other):
+        return isinstance(other, Vexp) and self.skey == other.skey
+
+    def __hash__(self):
+        return self.skey
+
+    def with_(self, **kw) -> "Vexp":
+        return dataclasses.replace(self, **kw)
+
+
+# --------------------------------------------------------------- hash consing
+class _Intern:
+    def __init__(self) -> None:
+        self.table: Dict[tuple, int] = {}
+
+    def key_of(self, vx: Vx) -> int:
+        k = _struct_key(vx)
+        uid = self.table.get(k)
+        if uid is None:
+            uid = len(self.table)
+            self.table[k] = uid
+        return uid
+
+
+_INTERN = _Intern()
+
+
+def reset_intern() -> None:
+    _INTERN.table.clear()
+
+
+def _struct_key(vx: Vx) -> tuple:
+    if isinstance(vx, Load):
+        return ("Load", vx.name)
+    if isinstance(vx, RangeV):
+        return ("RangeV", vx.rmin, vx.rstep, vx.rref.skey)
+    if isinstance(vx, RangeC):
+        return ("RangeC", vx.rmin, vx.rstep, vx.rcount)
+    if isinstance(vx, Binop):
+        return ("Binop", vx.binop, vx.left.skey, vx.right.skey)
+    if isinstance(vx, Shuffle):
+        return ("Shuffle", vx.shop, vx.shsource.skey, vx.shpos.skey,
+                vx.shshape.skey if vx.shshape is not None else None)
+    if isinstance(vx, Fold):
+        return ("Fold", vx.foldop, vx.fgroups.skey, vx.fdata.skey)
+    if isinstance(vx, Semisort):
+        return ("Semisort", vx.sdata.skey)
+    if isinstance(vx, Partition):
+        return ("Partition", vx.pivots.skey, vx.pdata.skey)
+    if isinstance(vx, Like):
+        return ("Like", vx.ldata.skey, vx.lpattern, vx.lcol)
+    if isinstance(vx, VShuffle):
+        return ("VShuffle", vx.varg.skey)
+    if isinstance(vx, CrossProduct):
+        return ("CrossProduct", vx.left.skey, vx.right.skey, vx.variant)
+    raise TypeError(vx)
+
+
+# ------------------------------------------------------------------- metadata
+_POINT0 = DDecimal(0)
+
+
+def _bitsize(num: int) -> int:
+    """Bit width to represent a non-negative value (Vlite.hs:1151-1159)."""
+    assert num >= 0, f"bitwidth of negative number {num}"
+    return num.bit_length()
+
+
+def get_bit_width(v: "Vexp") -> int:
+    l, u = v.info.bounds
+    return max(_bitsize(l), _bitsize(u))
+
+
+def _max_for_width(v: "Vexp") -> int:
+    w = get_bit_width(v)
+    assert w < 65
+    return (1 << w) - 1
+
+
+def infer_bounds(vx: Binop) -> Tuple[int, int]:
+    """Interval arithmetic over operand bounds (Vlite.hs:417-467)."""
+    op = vx.binop
+    l1, u1 = vx.left.info.bounds
+    l2, u2 = vx.right.info.bounds
+    if op in (M.GT, M.LT, M.EQ, M.NEQ, M.GEQ, M.LEQ, M.LOGAND, M.LOGOR):
+        return (0, 1)
+    if op == M.ADD:
+        return (l1 + l2, u1 + u2)
+    if op == M.SUB:
+        return (l1 - u2, u1 - l2)
+    if op == M.MUL:
+        prods = [a * b for a in (l1, u1) for b in (l2, u2)]
+        return (min(prods), max(prods))
+    if op == M.DIV:
+        if l2 <= 0 <= u2:
+            # divisor range contains zero: no finite bound (ref would crash)
+            return (INT64_MIN, INT64_MAX)
+        divs = [_tdiv(a, b) for a in (l1, u1) for b in (l2, u2)]
+        return (min(divs), max(divs))
+    if op == M.MIN:
+        return (min(l1, l2), min(u1, u2))
+    if op == M.MAX:
+        return (max(l1, l2), max(u1, u2))
+    if op == M.MOD:
+        return (0, max(u2 - 1, 0))
+    if op == M.BITAND:
+        if l1 >= 0 and l2 >= 0:
+            return (0, min(_max_for_width(vx.left), _max_for_width(vx.right)))
+        return (INT64_MIN, INT64_MAX)
+    if op == M.BITOR:
+        if l1 >= 0 and l2 >= 0:
+            return (0, max(_max_for_width(vx.left), _max_for_width(vx.right)))
+        return (INT64_MIN, INT64_MAX)
+    if op == M.BITSHIFT:
+        # sign of the shift amount encodes direction: negative = left shift
+        # (Vlite.hs:205-208,449-458)
+        def mshift(a: int, b: int) -> int:
+            return a << -b if b < 0 else a >> b
+
+        ext = [mshift(a, b) for a, b in ((l1, l2), (l1, u2), (u1, l2), (u1, u2))]
+        return (min(ext), max(ext))
+    raise ValueError(f"no bounds rule for {op}")
+
+
+def _tdiv(a: int, b: int) -> int:
+    """C-style truncating division (the engine's integer division)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def infer_metadata(vx: Vx) -> ColInfo:
+    """Vlite.hs:269-414, with the soundness tweaks noted in the module doc."""
+    if isinstance(vx, CrossProduct):
+        n = vx.left.info.count
+        m = vx.right.info.count
+        if vx.variant == COUTER:
+            bounds = (0, max(n - 1, 0))
+        else:
+            bounds = (0, max(m - 1, 0))
+        return ColInfo(bounds=bounds, count=n * m, stype=SInt32(),
+                       dtype=_POINT0, trailing_zeros=0)
+
+    if isinstance(vx, Load):
+        raise ValueError("Load metadata comes from the catalog (use load_as)")
+
+    if isinstance(vx, VShuffle):
+        return vx.varg.info
+
+    if isinstance(vx, Like):
+        return ColInfo(bounds=(0, 1), count=vx.ldata.info.count,
+                       stype=SInt32(), trailing_zeros=0, dtype=_POINT0)
+
+    if isinstance(vx, RangeV):
+        cnt = vx.rref.info.count
+        ext = [vx.rmin, vx.rmin + max(cnt - 1, 0) * vx.rstep]
+        return ColInfo(bounds=(min(ext), max(ext)), count=cnt,
+                       stype=SInt64(), dtype=_POINT0, trailing_zeros=0)
+
+    if isinstance(vx, RangeC):
+        ext = [vx.rmin, vx.rmin + max(vx.rcount - 1, 0) * vx.rstep]
+        return ColInfo(bounds=(min(ext), max(ext)), count=vx.rcount,
+                       stype=SInt64(), dtype=_POINT0, trailing_zeros=0)
+
+    if isinstance(vx, Shuffle) and vx.shop == SCATTER:
+        src = vx.shsource.info
+        posmax = vx.shpos.info.bounds[1]
+        if vx.shshape is not None:
+            out_count = vx.shshape.info.count
+        else:
+            out_count = posmax + 1
+        # uncovered slots default to zero, so widen bounds to include it
+        b = (min(src.bounds[0], 0), max(src.bounds[1], 0))
+        return ColInfo(bounds=b, count=out_count, stype=src.stype,
+                       dtype=src.dtype, trailing_zeros=0)
+
+    if isinstance(vx, Semisort):
+        return vx.sdata.info
+
+    if isinstance(vx, Shuffle) and vx.shop == GATHER:
+        src = vx.shsource.info
+        # gathered padding defaults to zero as well
+        b = (min(src.bounds[0], 0), max(src.bounds[1], 0))
+        return ColInfo(bounds=b, count=vx.shpos.info.count, stype=src.stype,
+                       dtype=src.dtype, trailing_zeros=src.trailing_zeros)
+
+    if isinstance(vx, Fold) and vx.foldop == FSEL:
+        cnt = vx.fdata.info.count
+        return ColInfo(bounds=(0, max(cnt - 1, 0)), count=cnt,
+                       stype=SInt64(), dtype=_POINT0, trailing_zeros=0)
+
+    if isinstance(vx, Fold):
+        g = vx.fgroups.info
+        d = vx.fdata.info
+        glower, gupper = g.bounds
+        dlower, dupper = d.bounds
+        count_bound = min(gupper - glower + 1, g.count, d.count)
+        count_bound = max(count_bound, 1)
+        dt = d.dtype
+        if vx.foldop == FSUM:
+            dcount = max(d.count, 1)
+            ext = [dlower, dlower * dcount, dupper, dupper * dcount]
+            dtout = dt if isinstance(dt, DDecimal) else _POINT0
+            return ColInfo(bounds=(min(ext), max(ext)), count=count_bound,
+                           stype=d.stype, dtype=dtout,
+                           trailing_zeros=d.trailing_zeros)
+        # FMax / FMin / FChoose keep value bounds
+        return ColInfo(bounds=(dlower, dupper), count=count_bound,
+                       stype=d.stype, dtype=dt,
+                       trailing_zeros=d.trailing_zeros)
+
+    if isinstance(vx, Partition):
+        pcount = vx.pivots.info.count
+        return ColInfo(bounds=(0, max(pcount - 1, 0)),
+                       count=vx.pdata.info.count, stype=SInt64(),
+                       dtype=_POINT0, trailing_zeros=0)
+
+    if isinstance(vx, Binop):
+        li = vx.left.info
+        ri = vx.right.info
+        count = min(li.count, ri.count)
+        bounds = infer_bounds(vx)
+        tz = 0
+        if vx.binop == M.BITSHIFT:
+            tz = max(li.trailing_zeros - ri.bounds[1], 0)
+        stype = _binop_stype(vx.binop, li.stype, ri.stype)
+        dtype = _binop_dtype(vx.binop, li.dtype, ri.dtype)
+        return ColInfo(bounds=bounds, count=count, stype=stype, dtype=dtype,
+                       trailing_zeros=tz)
+
+    raise TypeError(vx)
+
+
+def _binop_stype(op: str, lt: SType, rt: SType) -> SType:
+    """Decimal precision/scale propagation (Vlite.hs:378-391)."""
+    if op == M.MUL:
+        if isinstance(lt, SDecimal) and isinstance(rt, SDecimal):
+            return SDecimal(lt.precision + rt.precision, lt.scale + rt.scale)
+        if isinstance(lt, SDecimal):
+            return lt
+        if isinstance(rt, SDecimal):
+            return rt
+        return lt
+    if op == M.DIV:
+        if isinstance(lt, SDecimal) and isinstance(rt, SDecimal):
+            diff = lt.scale - rt.scale
+            if diff < 0:
+                raise ValueError("division where numerator scale < denominator")
+            return SDecimal(max(lt.precision, rt.precision), diff)
+        if isinstance(lt, SDecimal):
+            return lt
+        return lt
+    return lt
+
+
+def _binop_dtype(op: str, ld: DType, rd: DType) -> DType:
+    """Display-scale propagation (Vlite.hs:392-413)."""
+    if op == M.MUL and isinstance(ld, DDecimal) and isinstance(rd, DDecimal):
+        return DDecimal(ld.point + rd.point)
+    if op == M.DIV and isinstance(ld, DDecimal) and isinstance(rd, DDecimal):
+        diff = ld.point - rd.point
+        if diff < 0:
+            raise ValueError("division needs scale conversion first")
+        return DDecimal(diff)
+    if op in (M.GT, M.LT, M.LEQ, M.GEQ, M.EQ, M.NEQ):
+        return _POINT0
+    return ld
+
+
+def infer_lineage(vx: Vx) -> Optional[Lineage]:
+    """Gather/scatter and min/max/choose folds preserve lineage (Vlite.hs:469-494)."""
+    if isinstance(vx, Shuffle) and vx.shsource.lineage is not None:
+        lv = vx.shsource.lineage
+        return Lineage(col=lv.col,
+                       mask=complete(Shuffle(shop=vx.shop, shsource=lv.mask,
+                                             shpos=vx.shpos,
+                                             shshape=vx.shshape)))
+    if (isinstance(vx, Fold) and vx.foldop in (FMIN, FMAX, FCHOOSE)
+            and vx.fdata.lineage is not None):
+        lv = vx.fdata.lineage
+        return Lineage(col=lv.col,
+                       mask=complete(Fold(foldop=vx.foldop,
+                                          fgroups=vx.fgroups,
+                                          fdata=lv.mask)))
+    return None
+
+
+def infer_uniqueness(vx: Vx) -> str:
+    """Vlite.hs:496-520."""
+    if isinstance(vx, Shuffle) and vx.shop == SCATTER:
+        return vx.shsource.quant
+    if isinstance(vx, Shuffle) and vx.shop == GATHER:
+        return vx.shsource.quant if vx.shpos.quant == UNIQUE else ANY
+    if isinstance(vx, Partition):
+        return UNIQUE
+    if isinstance(vx, (RangeV, RangeC)) and vx.rstep != 0:
+        return UNIQUE
+    if isinstance(vx, Fold) and vx.foldop == FSEL:
+        return UNIQUE
+    return ANY
+
+
+def _check_lineage(l: Optional[Lineage]) -> Optional[Lineage]:
+    if l is not None:
+        assert l.mask.lineage is None and l.mask.name is None, \
+            "lineage vector should not itself have lineage or name"
+    return l
+
+
+def complete(vx: Vx) -> Vexp:
+    """The only constructor: computes all derived fields (Vlite.hs:247-257)."""
+    info = infer_metadata(vx).check()
+    lineage = _check_lineage(infer_lineage(vx))
+    quant = infer_uniqueness(vx)
+    name = vx.shsource.name if isinstance(vx, Shuffle) else None
+    return Vexp(vx=vx, info=info, lineage=lineage, name=name,
+                skey=_INTERN.key_of(vx), quant=quant)
+
+
+# --------------------------------------------------------- convenience ctors
+def pos_(v: Vexp) -> Vexp:
+    return complete(RangeV(rmin=0, rstep=1, rref=v))
+
+
+def const_(k: int, v: Vexp) -> Vexp:
+    return complete(RangeV(rmin=k, rstep=0, rref=v))
+
+
+def typedconst_(k: int, v: Vexp, dt: DType) -> Vexp:
+    """Literal constant keeping its display type (Vlite.hs:183-186)."""
+    p = const_(k, v)
+    return p.with_(info=dataclasses.replace(p.info, stype=SInt32(), dtype=dt))
+
+
+def zeros_(v: Vexp) -> Vexp:
+    return const_(0, v)
+
+
+def ones_(v: Vexp) -> Vexp:
+    return const_(1, v)
+
+
+def binop(op: str, l: Vexp, r: Vexp) -> Vexp:
+    return complete(Binop(binop=op, left=l, right=r))
+
+
+def eq_(a, b):
+    return binop(M.EQ, a, b)
+
+
+def gt_(a, b):
+    return binop(M.GT, a, b)
+
+
+def lt_(a, b):
+    return binop(M.GT, b, a)  # notice switch (Vlite.hs:199-200)
+
+
+def shr_(a, b):
+    return binop(M.BITSHIFT, a, b)
+
+
+def shl_(a, b):
+    z = zeros_(b)
+    return shr_(a, binop(M.SUB, z, b))
+
+
+def or_(a, b):
+    return binop(M.LOGOR, a, b)
+
+
+def bitor_(a, b):
+    return binop(M.BITOR, a, b)
+
+
+def bitand_(a, b):
+    return binop(M.BITAND, a, b)
+
+
+def sub_(a, b):
+    return binop(M.SUB, a, b)
+
+
+def mul_(a, b):
+    return binop(M.MUL, a, b)
+
+
+def add_(a, b):
+    return binop(M.ADD, a, b)
+
+
+def div_(a, b):
+    return binop(M.DIV, a, b)
+
+
+def mod_(a, b):
+    return binop(M.MOD, a, b)
+
+
+def gather(values: Vexp, positions: Vexp) -> Vexp:
+    return complete(Shuffle(shop=GATHER, shsource=values, shpos=positions))
+
+
+def scatter(values: Vexp, positions: Vexp,
+            shape: Optional[Vexp] = None) -> Vexp:
+    return complete(Shuffle(shop=SCATTER, shsource=values, shpos=positions,
+                            shshape=shape))
+
+
+def if_then_else(cond: Vexp, a: Vexp, b: Vexp) -> Vexp:
+    """Arithmetic select: cond*a + (1-cond)*b (Vlite.hs:237-245)."""
+    ones = ones_(cond)
+    zeros = zeros_(cond)
+    negcond = eq_(cond, zeros)
+    poscond = sub_(ones, negcond)
+    return add_(mul_(poscond, a), mul_(negcond, b))
+
+
+# --------------------------------------------------------------- environments
+class Env:
+    """Operator output: the column list plus a suffix-resolving scope
+    (Vlite.hs:532-548)."""
+
+    def __init__(self, cols: List[Vexp], weak: bool = False):
+        self.cols = cols
+        self.table: NameTable = NameTable()
+        for v in cols:
+            if v.name is not None:
+                if weak:
+                    self.table.insert_weak(v.name, v)
+                else:
+                    self.table.insert(v.name, v)
+
+    def lookup(self, n: Name) -> Vexp:
+        return self.table.lookup(n)[1]
+
+
+class VirError(ValueError):
+    pass
+
+
+# -------------------------------------------------------------------- loading
+def get_ref_vector(cfg: Config, tablename: Name) -> Vexp:
+    """A vector sized like the table, used as the size reference for row-id
+    ranges (Vlite.hs:734-741).  TPU build: always a RangeC (pure iota)."""
+    pkname = cfg.lookup_pkey(tablename)
+    _, pkinfo = cfg.colinfo.lookup(pkname)
+    return complete(RangeC(rmin=0, rstep=1, rcount=pkinfo.count))
+
+
+def load_as(cfg: Config, tablename: Name, colname: Name,
+            alias: Optional[Name]) -> Vexp:
+    """Materialize a stored column, patching metadata from the catalog
+    (Vlite.hs:743-755)."""
+    mask = pos_(get_ref_vector(cfg, tablename))
+    outname = alias if alias is not None else colname
+    if len(colname) == 2 and colname[1] == "%TID%":
+        return mask.with_(lineage=Lineage(col=colname, mask=mask),
+                          name=outname)
+    if len(colname) != 2:
+        raise VirError(f"unexpected column name {name_str(colname)}")
+    _, clinfo = cfg.colinfo.lookup(colname)
+    clquant = UNIQUE if cfg.is_pkey((colname,)) is not None else ANY
+    vx = Load(colname)
+    return Vexp(vx=vx, info=clinfo, quant=clquant,
+                lineage=Lineage(col=colname, mask=mask),
+                skey=_INTERN.key_of(vx), name=outname)
+
+
+def load_raw(cfg: Config, colname: Name) -> Vexp:
+    """Load a column with no lineage/name (join indexes, Vlite.hs:1250-1258)."""
+    _, info = cfg.colinfo.lookup(colname)
+    vx = Load(colname)
+    return Vexp(vx=vx, info=info, quant=ANY, lineage=None,
+                skey=_INTERN.key_of(vx), name=None)
+
+
+# ------------------------------------------------------------------- lowering
+def vexps_from_mplan(r: M.RelExpr, cfg: Config) -> List[Vexp]:
+    """Entry point (Vlite.hs:522-523)."""
+    return solve_prime(cfg, r)
+
+
+def solve(cfg: Config, r: M.RelExpr) -> Env:
+    cols = solve_prime(cfg, r)
+    sizes = {c.info.count for c in cols}
+    assert len(sizes) == 1, f"column size bounds disagree: {sizes}"
+    return Env(cols)
+
+
+def solve_prime(cfg: Config, r: M.RelExpr) -> List[Vexp]:
+    if isinstance(r, M.RTable):
+        return [load_as(cfg, r.tablename, col, alias)
+                for col, alias in r.tablecolumns]
+
+    if isinstance(r, M.RProject):
+        return _solve_project(cfg, r)
+
+    if isinstance(r, M.RGroupBy):
+        return _solve_groupby(cfg, r)
+
+    if isinstance(r, M.RSelect):
+        env = solve(cfg, r.child)
+        fdata = sc(env, r.predicate)
+        idx = complete(Fold(foldop=FSEL, fgroups=pos_(fdata), fdata=fdata))
+        out = []
+        for col in env.cols:
+            sel = gather(col, idx)
+            out.append(sel.with_(name=col.name))
+        return out
+
+    if isinstance(r, M.RJoin):
+        return _solve_join(cfg, r)
+
+    if isinstance(r, M.RCartesianProduct):
+        lcols = solve(cfg, r.leftch).cols
+        rcols = solve(cfg, r.rightch).cols
+        outer = complete(CrossProduct(left=lcols[0], right=rcols[0],
+                                      variant=COUTER))
+        inner = complete(CrossProduct(left=lcols[0], right=rcols[0],
+                                      variant=CINNER))
+        return gather_all(lcols, outer) + gather_all(rcols, inner)
+
+    raise VirError(f"unsupported relational op: {type(r).__name__}")
+
+
+def gather_all(cols: List[Vexp], shpos: Vexp) -> List[Vexp]:
+    """Gather a group of columns, names preserved (Vlite.hs:1285-1288)."""
+    return [gather(c, shpos) for c in cols]
+
+
+def _solve_project(cfg: Config, r: M.RProject) -> List[Vexp]:
+    """Sequential scoping: later outputs see earlier ones (Vlite.hs:587-619)."""
+    base = solve(cfg, r.child).cols
+    acc: List[Vexp] = []
+    for expr, outname in r.projectout:
+        env = Env(base + acc, weak=True)
+        anon = sc(env, expr)
+        acc.append(anon.with_(name=outname))
+    return acc
+
+
+# ----------------------------------------------------------------- scalar -> V
+def sc(env: Env, e: M.ScalarExpr) -> Vexp:
+    """Vlite.hs:924-1020."""
+    if isinstance(e, M.MRef):
+        return env.lookup(e.name)
+
+    if isinstance(e, M.MCast):
+        if e.mtype.kind == "double":
+            # cast-to-double only precedes averages; ignored (Vlite.hs:931)
+            return sc(env, e.arg)
+        v = sc(env, e.arg)
+        input_dt = v.info.dtype
+        out_stype = stype_of_mtype(e.mtype)
+        nm = input_dt.decoder if isinstance(input_dt, DString) else ("",)
+        out_dt = dtype_of_mtype(e.mtype, nm)
+        out = v
+        if (isinstance(input_dt, DDecimal) and isinstance(out_dt, DDecimal)
+                and input_dt.point != out_dt.point):
+            factor = 10 ** abs(out_dt.point - input_dt.point)
+            if out_dt.point > input_dt.point:
+                out = mul_(v, const_(factor, v))
+            else:
+                out = div_(v, const_(factor, v))
+        return out.with_(info=dataclasses.replace(out.info, stype=out_stype,
+                                                  dtype=out_dt))
+
+    if isinstance(e, M.MBinop):
+        return binop(e.binop, sc(env, e.left), sc(env, e.right))
+
+    if isinstance(e, M.MIn):
+        left = sc(env, e.left)
+        eqs = [eq_(sc(env, x), left) for x in e.set]
+        acc = eqs[0]
+        for x in eqs[1:]:
+            acc = or_(acc, x)
+        return acc
+
+    if isinstance(e, M.MLiteral):
+        ref = env.cols[0]
+        return typedconst_(e.rep, ref, e.dtype)
+
+    if isinstance(e, M.MIdentity):
+        return pos_(env.cols[0])
+
+    if isinstance(e, M.MUnary) and e.unop == M.YEAR:
+        # ((days*1000)+1100)/365243 — deliberately approximate, valid
+        # 1992-1997 (Vlite.hs:988-994); reproduced bit-for-bit.
+        d = sc(env, e.arg)
+        return div_(add_(mul_(d, const_(1000, d)), const_(1100, d)),
+                    const_(365243, d))
+
+    if isinstance(e, M.MIfThenElse):
+        # isnull elision (Vlite.hs:996-1000)
+        if (isinstance(e.if_, M.MUnary) and e.if_.unop == M.ISNULL
+                and isinstance(e.then_, M.MLiteral) and e.then_.rep == 0
+                and e.if_.arg == e.else_):
+            return sc(env, e.else_)
+        return if_then_else(sc(env, e.if_), sc(env, e.then_),
+                            sc(env, e.else_))
+
+    if isinstance(e, M.MLike):
+        v = sc(env, e.ldata)
+        if v.lineage is None:
+            raise VirError("LIKE requires lineage to locate the dictionary")
+        return complete(Like(ldata=v, lpattern=e.pattern, lcol=v.lineage.col))
+
+    if isinstance(e, M.MUnary) and e.unop == M.NEG:
+        v = sc(env, e.arg)
+        return sub_(ones_(v), v)
+
+    raise VirError(f"unhandled scalar expression: {e}")
+
+
+# ------------------------------------------------------------------- group by
+def shift_to_zero(v: Vexp) -> Vexp:
+    """Normalize a key vector to min 0 with no trailing zeros (Vlite.hs:1139-1144)."""
+    vmin = v.info.bounds[0]
+    tz = v.info.trailing_zeros
+    if vmin == 0 and tz == 0:
+        return v
+    norm = shr_(v, const_(tz, v)) if tz != 0 else v
+    vmin2 = norm.info.bounds[0]
+    ret = sub_(norm, const_(vmin2, norm))
+    assert ret.info.bounds[0] == 0 and ret.info.trailing_zeros == 0
+    return ret
+
+
+def compose_keys(l: Vexp, r: Vexp) -> Vexp:
+    """Bit-pack two normalized keys into one integer (Vlite.hs:1162-1170)."""
+    sl = shift_to_zero(l)
+    sr = shift_to_zero(r)
+    newbits = get_bit_width(sl) + get_bit_width(sr)
+    assert newbits < 65, f"composite key needs {newbits} bits"
+    return bitor_(shl_(sl, const_(get_bit_width(sr), sl)), sr)
+
+
+def make_composite_key(cfg: Config, keys: List[Vexp]) -> Vexp:
+    """Vlite.hs:1123-1136."""
+    out = shift_to_zero(keys[0])
+    for k in keys[1:]:
+        out = compose_keys(out, k)
+    if cfg.gboffset > 0:
+        out = add_(out, const_(cfg.gboffset, out))
+    mx = out.info.bounds[1]
+    return out.with_(info=dataclasses.replace(out.info, bounds=(0, mx)))
+
+
+def _group_ids(gkey: Vexp) -> Vexp:
+    """Dense group ids in [0, domain) from a composite key.
+
+    The reference's Partition-against-dense-RangeC (Vlite.hs:1082-1098); the
+    engine lowers the dense case to a plain subtraction."""
+    kmin, kmax = gkey.info.bounds
+    pivots = complete(RangeC(rmin=kmin, rstep=1, rcount=kmax - kmin + 1))
+    return complete(Partition(pivots=pivots, pdata=gkey))
+
+
+def solve_agg(cfg: Config, env: Env, after_env: Env, gkey: Vexp,
+              agg: M.GroupAgg) -> Vexp:
+    """Vlite.hs:1033-1070 under the id-based Fold semantics."""
+    if isinstance(agg, M.GAvg):
+        gsums = solve_agg(cfg, env, after_env, gkey, M.GFold(M.FSUM, agg.expr))
+        gcounts = solve_agg(cfg, env, after_env, gkey, M.GCount())
+        return div_(gsums, gcounts)
+    if isinstance(agg, M.GCount):
+        return solve_agg(cfg, env, after_env, gkey,
+                         M.GFold(M.FSUM, M.MLiteral(DDecimal(0), 1)))
+    assert isinstance(agg, M.GFold)
+    # already-grouped column reuse (Vlite.hs:1065-1070)
+    if agg.op == M.FCHOOSE and isinstance(agg.expr, M.MRef):
+        hit = after_env.table.lookup_opt(agg.expr.name)
+        if hit is not None:
+            return hit[1]
+    fop = {M.FSUM: FSUM, M.FMAX: FMAX, M.FMIN: FMIN, M.FCHOOSE: FCHOOSE}[agg.op]
+    gdata = sc(env, agg.expr)
+    ids = _group_ids(gkey)
+    return complete(Fold(foldop=fop, fgroups=ids, fdata=gdata))
+
+
+def _solve_groupby(cfg: Config, r: M.RGroupBy) -> List[Vexp]:
+    """Vlite.hs:624-669."""
+    env0 = solve(cfg, r.child)
+    if not env0.cols:
+        raise VirError("empty group-by input")
+    refv = env0.cols[0]
+    keys = [n for n, _ in r.inputkeys]
+    keyvecs = [env0.lookup(n) for n in keys]
+    keyaliases = [v.with_(name=a)
+                  for v, (_, a) in zip(keyvecs, r.inputkeys) if a is not None]
+    list1 = env0.cols + keyaliases
+    if not keyvecs:
+        gb = zeros_(refv)
+        assert gb.info.bounds == (0, 0)
+        gkeys = [gb]
+    else:
+        gkeys = keyvecs
+    gkey = make_composite_key(cfg, gkeys).with_(comment="groupBy key")
+    assert gkey.info.bounds[0] == 0
+
+    acc: List[Vexp] = []
+    for agg, alias in r.outputaggs:
+        env = Env(list1 + acc, weak=True)
+        after_env = Env(acc, weak=True)
+        anon = solve_agg(cfg, env, after_env, gkey, agg)
+        # output naming (Vlite.hs:645-648)
+        outalias = alias
+        if (outalias is None and isinstance(agg, M.GFold)
+                and agg.op == M.FCHOOSE and isinstance(agg.expr, M.MRef)):
+            outalias = agg.expr.name
+        # uniqueness of a single group key's output version (Vlite.hs:649-652)
+        out_quant = anon.quant
+        if (len(keys) == 1 and isinstance(agg, M.GFold)
+                and agg.op == M.FCHOOSE and isinstance(agg.expr, M.MRef)
+                and agg.expr.name == keys[0]):
+            out_quant = UNIQUE
+        out_lineage = anon.lineage
+        if out_lineage is not None and out_quant == UNIQUE:
+            out_lineage = Lineage(col=out_lineage.col,
+                                  mask=out_lineage.mask.with_(quant=UNIQUE))
+        acc.append(anon.with_(name=outalias, quant=out_quant,
+                              lineage=out_lineage))
+    return acc
+
+
+# ----------------------------------------------------------------------- joins
+@dataclass(frozen=True, eq=False)
+class PartialFKJoinSpec:
+    pfactmask: Vexp
+    pcols: Tuple[Tuple[Name, Name], ...]
+    pdimmask: Vexp
+    pjoinorder: str
+
+    def __eq__(self, o):
+        return (isinstance(o, PartialFKJoinSpec)
+                and self.pfactmask == o.pfactmask and self.pcols == o.pcols
+                and self.pdimmask == o.pdimmask
+                and self.pjoinorder == o.pjoinorder)
+
+    def __hash__(self):
+        return hash((self.pfactmask.skey, self.pcols, self.pdimmask.skey,
+                     self.pjoinorder))
+
+
+@dataclass(frozen=True, eq=False)
+class PartialSelfJoinSpec:
+    pleftmask: Vexp
+    prightmask: Vexp
+    ppkcols: Tuple[Name, ...]
+
+    def __eq__(self, o):
+        return (isinstance(o, PartialSelfJoinSpec)
+                and self.pleftmask == o.pleftmask
+                and self.prightmask == o.prightmask
+                and self.ppkcols == o.ppkcols)
+
+    def __hash__(self):
+        return hash((self.pleftmask.skey, self.prightmask.skey, self.ppkcols))
+
+
+@dataclass
+class FKJoinSpec:
+    factmask: Vexp
+    factunique: str
+    joinidx: Name
+    dimmask: Vexp
+    joinorder: str
+    dimref: Vexp
+
+
+@dataclass
+class SelfJoinSpec:
+    leftmask: Vexp
+    rightmask: Vexp
+    pkconstraint: Name
+
+
+@dataclass
+class JoinIdx:
+    selectmask: Vexp
+    gathermask: Vexp
+
+
+def separate_fk_joinable(cfg: Config, conds: List[M.ScalarExpr], left: Env,
+                         right: Env):
+    """Split join conditions into resolvable FK/self-join specs and leftovers
+    (Vlite.hs:764-799)."""
+    joinenv: NameTable = NameTable()
+    for n, v in left.table.items():
+        joinenv.insert(n, ("L", v))
+    for n, v in right.table.items():
+        joinenv.insert(n, ("R", v))
+
+    partials: Dict[object, Tuple[object, List[M.ScalarExpr]]] = {}
+    non: List[M.ScalarExpr] = []
+    for expr in conds:
+        handled = _classify_expr(cfg, partials, joinenv, expr)
+        if not handled:
+            non.append(expr)
+
+    joinspecs = []
+    for pspec, (acc, origs) in partials.items():
+        if isinstance(pspec, PartialFKJoinSpec):
+            kp, quant = acc
+            if tuple(sorted(kp)) == pspec.pcols:
+                inst = cfg.is_fk_ref(pspec.pcols)
+                assert inst is not None and inst.fkjoinorder == FACT_DIM
+                joinspecs.append(FKJoinSpec(
+                    factmask=pspec.pfactmask.with_(comment="factmask"),
+                    dimmask=pspec.pdimmask.with_(comment="dimmask"),
+                    factunique=quant, joinorder=pspec.pjoinorder,
+                    joinidx=inst.idxname,
+                    dimref=get_ref_vector(cfg, inst.dim)))
+            else:
+                non.extend(origs)
+        else:
+            acccols = acc
+            if tuple(sorted(acccols)) == tuple(sorted(pspec.ppkcols)):
+                pkc = cfg.is_pkey(tuple(acccols))
+                assert pkc is not None
+                joinspecs.append(SelfJoinSpec(leftmask=pspec.pleftmask,
+                                              rightmask=pspec.prightmask,
+                                              pkconstraint=pkc))
+            else:
+                non.extend(origs)
+    return joinspecs, non
+
+
+def _classify_expr(cfg: Config, partials, joinenv: NameTable,
+                   expr: M.ScalarExpr) -> bool:
+    """Vlite.hs:857-873; returns True when absorbed into a partial spec."""
+    if not (isinstance(expr, M.MBinop) and expr.binop == M.EQ
+            and isinstance(expr.left, M.MRef)
+            and isinstance(expr.right, M.MRef)):
+        return False
+    h1 = joinenv.lookup_opt(expr.left.name)
+    h2 = joinenv.lookup_opt(expr.right.name)
+    if h1 is None or h2 is None:
+        return False
+    (side1, v1), (side2, v2) = h1[1], h2[1]
+    if side1 == side2:
+        return False
+    if side1 == "R":
+        (side1, v1), (side2, v2) = (side2, v2), (side1, v1)
+    if v1.lineage is None or v2.lineage is None:
+        return False
+    return _process_partials(cfg, partials,
+                             (v1.lineage.col, v1.lineage.mask, v1.quant),
+                             (v2.lineage.col, v2.lineage.mask, v2.quant),
+                             expr)
+
+
+def _add_partial(partials, key, acc, expr) -> None:
+    if key in partials:
+        acc0, exprs0 = partials[key]
+        partials[key] = (_acc_merge(acc0, acc), exprs0 + [expr])
+    else:
+        partials[key] = (acc, [expr])
+
+
+def _acc_merge(a, b):
+    """Vlite.hs:838-846."""
+    if isinstance(a, tuple) and len(a) == 2 and isinstance(a[0], tuple):
+        # FK accumulator: (colpairs, quant)
+        cols = tuple(sorted(set(a[0]) | set(b[0])))
+        quant = UNIQUE if (a[1] == UNIQUE or b[1] == UNIQUE) else ANY
+        return (cols, quant)
+    return tuple(sorted(set(a) | set(b)))
+
+
+def _process_partials(cfg: Config, partials, left_info, right_info,
+                      expr) -> bool:
+    """Vlite.hs:877-903."""
+    leftcol, leftmask, leftquant = left_info
+    rightcol, rightmask, rightquant = right_info
+    if leftcol == rightcol:
+        pks = cfg.is_partial_pk(leftcol)
+        if pks is None:
+            return False
+        if leftmask.quant == UNIQUE or rightmask.quant == UNIQUE:
+            key = PartialSelfJoinSpec(pleftmask=leftmask,
+                                      prightmask=rightmask, ppkcols=pks)
+            _add_partial(partials, key, (leftcol,), expr)
+            return True
+        return False
+    hit = cfg.is_partial_fk((leftcol, rightcol))
+    if hit is None:
+        return False
+    joinorder, kp = hit
+    if joinorder == FACT_DIM:
+        key = PartialFKJoinSpec(pfactmask=leftmask, pdimmask=rightmask,
+                                pcols=kp, pjoinorder=FACT_DIM)
+        acc = (((leftcol, rightcol),), leftquant)
+    else:
+        key = PartialFKJoinSpec(pfactmask=rightmask, pdimmask=leftmask,
+                                pcols=kp, pjoinorder=DIM_FACT)
+        acc = (((rightcol, leftcol),), rightquant)
+    _add_partial(partials, key, acc, expr)
+    return True
+
+
+def deduce_masks(cfg: Config, jspec: FKJoinSpec) -> JoinIdx:
+    """The FK-join mask algebra (Vlite.hs:1248-1282; diagram :1420-1447).
+
+    fact' --(factmask)--> fact --(stored fk index)--> dim <--(dimmask)-- dim'
+    """
+    fact_dim_idx = load_raw(cfg, jspec.joinidx)
+    prelim = gather(fact_dim_idx, jspec.factmask)
+    fprime_dim_idx = prelim.with_(quant=jspec.factunique)
+    dimprime_dim_idx = jspec.dimmask
+    if dimprime_dim_idx.quant != UNIQUE:
+        raise VirError("the dimension-side mask is not known to be unique")
+    ones = ones_(dimprime_dim_idx)
+    pos = pos_(dimprime_dim_idx)
+    dim_dimprime_valid = scatter(ones, dimprime_dim_idx, shape=jspec.dimref)
+    dim_dimprime_idx = scatter(pos, dimprime_dim_idx, shape=jspec.dimref)
+    fprime_dimprime_valid = gather(dim_dimprime_valid, fprime_dim_idx)
+    fprime_dimprime_pos = gather(dim_dimprime_idx, fprime_dim_idx)
+    return JoinIdx(selectmask=fprime_dimprime_valid,
+                   gathermask=fprime_dimprime_pos)
+
+
+def handle_gather_join(cfg: Config, fact_env: Env, dim_env: Env,
+                       variant: str, jspec) -> List[Vexp]:
+    """Vlite.hs:1199-1246."""
+    if isinstance(jspec, FKJoinSpec):
+        factcols, dimcols = fact_env.cols, dim_env.cols
+        jidx = deduce_masks(cfg, jspec)
+        selectboolean = jidx.selectmask
+        selectmask = complete(Fold(foldop=FSEL, fgroups=pos_(selectboolean),
+                                   fdata=selectboolean)).with_(
+                                       comment="selectmask")
+        gathered = gather_all([jidx.gathermask] + factcols, selectmask)
+        clean_gathermask, cleaned_factcols = gathered[0], gathered[1:]
+        if variant == M.PLAIN:
+            joined_dimcols = gather_all(dimcols, clean_gathermask)
+            return cleaned_factcols + joined_dimcols
+        if variant == M.LEFTSEMI:
+            if jspec.joinorder == FACT_DIM:
+                return cleaned_factcols
+            # semijoin keeping the dim side: mark referenced dim rows
+            # (Vlite.hs:1214-1222).  Deviation: the reference scatters through
+            # the *raw* gather mask, which spuriously marks dim row 0 whenever
+            # a fact row has no dim' match; we scatter the compacted mask.
+            qualified = scatter(ones_(clean_gathermask), clean_gathermask,
+                                shape=jspec.dimref)
+            dimsel = complete(Fold(foldop=FSEL, fgroups=pos_(qualified),
+                                   fdata=qualified))
+            return gather_all(dimcols, dimsel)
+        if variant == M.LEFTANTI:
+            if jspec.joinorder == FACT_DIM:
+                anti = sub_(ones_(selectboolean), selectboolean)
+                antigather = complete(Fold(foldop=FSEL, fgroups=pos_(anti),
+                                           fdata=anti))
+                return gather_all(factcols, antigather)
+            raise VirError("anti-join keeping the dimension side: TODO")
+        raise VirError(f"join variant {variant} on an FK join: TODO")
+
+    assert isinstance(jspec, SelfJoinSpec)
+    leftcols, rightcols = fact_env.cols, dim_env.cols
+
+    def is_identity_range(v: Vexp) -> bool:
+        return (isinstance(v.vx, RangeV) and v.vx.rmin == 0
+                and v.vx.rstep == 1)
+
+    if is_identity_range(jspec.rightmask):
+        factcols, dimcols, gmask = leftcols, rightcols, jspec.leftmask
+    elif is_identity_range(jspec.leftmask):
+        factcols, dimcols, gmask = rightcols, leftcols, jspec.rightmask
+    else:
+        raise VirError("self-join where both children are filtered: TODO")
+    if variant != M.PLAIN:
+        raise VirError(f"non-plain self-join: {variant}")
+    return factcols + gather_all(dimcols, gmask)
+
+
+def _solve_join(cfg: Config, r: M.RJoin) -> List[Vexp]:
+    """Vlite.hs:682-719."""
+    sleft = solve(cfg, r.leftch)
+    sright = solve(cfg, r.rightch)
+    specs, leftover = separate_fk_joinable(cfg, list(r.conds), sleft, sright)
+
+    if len(specs) == 1 and not leftover:
+        spec = specs[0]
+        if isinstance(spec, FKJoinSpec):
+            if spec.joinorder == FACT_DIM:
+                return handle_gather_join(cfg, sleft, sright, r.joinvariant,
+                                          spec)
+            return handle_gather_join(cfg, sright, sleft, r.joinvariant, spec)
+        return handle_gather_join(cfg, sleft, sright, r.joinvariant, spec)
+
+    if not specs and len(leftover) == 1 and isinstance(leftover[0], M.MBinop):
+        cond = leftover[0]
+        keyl = sc(sleft, cond.left)
+        keyr = sc(sright, cond.right)
+        # single-row side: broadcast-compare (Vlite.hs:694-713)
+        if keyl.info.count == 1 and len(sleft.cols) == 1:
+            bl = gather(keyl, zeros_(keyr))
+            boolean = binop(cond.binop, bl, keyr)
+            gm = complete(Fold(foldop=FSEL, fgroups=pos_(boolean),
+                               fdata=boolean))
+            return gather_all(sright.cols, gm)
+        if keyr.info.count == 1 and len(sright.cols) == 1:
+            br = gather(keyr, zeros_(keyl))
+            boolean = binop(cond.binop, keyl, br)
+            gm = complete(Fold(foldop=FSEL, fgroups=pos_(boolean),
+                               fdata=boolean))
+            return gather_all(sleft.cols, gm)
+
+    if len(specs) == 1 and len(leftover) == 1:
+        # re-solve as Select(Join) without the leftover condition
+        # (Vlite.hs:714-718)
+        if r.joinvariant != M.PLAIN:
+            raise VirError("leftover-condition rewrite only for plain joins")
+        remaining = tuple(c for c in r.conds if c != leftover[0])
+        inner = M.RJoin(leftch=r.leftch, rightch=r.rightch, conds=remaining,
+                        joinvariant=r.joinvariant)
+        return solve_prime(cfg, M.RSelect(child=inner,
+                                          predicate=leftover[0]))
+
+    raise VirError(
+        f"unhandled join case: {len(specs)} specs, {len(leftover)} leftover")

@@ -1,0 +1,129 @@
+"""Frontend gates: every committed plan corpus parses; the SF10 catalog
+reconstructs; the noorder suites lower to Mplan and VIR (SURVEY.md §7.2
+steps 1-3)."""
+
+import glob
+import os
+
+import pytest
+
+from mplan2vdl_tpu.fe import lexer, plan_parser, schema_parser
+from mplan2vdl_tpu import mplan, vir, passes
+
+REFERENCE = "/root/reference"
+TESTS = os.path.join(REFERENCE, "tests")
+
+
+def _plan_files(corpus):
+    pats = [os.path.join(TESTS, corpus, "*.mplan"),
+            os.path.join(TESTS, corpus, "*plan")]
+    out = []
+    for p in pats:
+        out += glob.glob(p)
+    return sorted(set(f for f in out if not f.endswith(".csv")))
+
+
+ALL_CORPORA = ["tpch10noorder", "tpchnoorder", "monetpch", "modtpch", "simple"]
+
+
+@pytest.mark.parametrize("corpus", ALL_CORPORA)
+def test_parse_corpus(corpus):
+    files = _plan_files(corpus)
+    assert files, f"no plan files found in {corpus}"
+    for f in files:
+        rel = plan_parser.from_file(f)
+        assert isinstance(rel, (plan_parser.Leaf, plan_parser.Node)), f
+
+
+def test_parse_schema():
+    tables = schema_parser.from_file(
+        os.path.join(TESTS, "tpch10noorder", "schema.msqldump"))
+    names = {t.name for t in tables}
+    assert ("lineitem",) in names and ("region",) in names
+    li = next(t for t in tables if t.name == ("lineitem",))
+    assert li.pkey.cols == (("l_orderkey",), ("l_linenumber",))
+    assert len(li.fkeys) == 4
+    ps = next(t for t in tables if t.name == ("partsupp",))
+    assert len(ps.pkey.cols) == 2
+
+
+def test_catalog(tpch10_config):
+    cfg = tpch10_config
+    _, info = cfg.col(("lineitem", "l_orderkey"))
+    assert info.count == 59986052
+    # trailing-zeros / dict-code columns
+    _, rf = cfg.col(("lineitem", "l_returnflag"))
+    assert rf.trailing_zeros > 0
+    # '%'-prefixed constraint alias (Config.hs:146)
+    _, fk = cfg.col(("lineitem", "%lineitem_orders"))
+    assert fk.bounds[0] == 0
+    # dictionary pins
+    assert cfg.dictionary["BRAZIL"] == 72
+    # fk machinery: implicit pair resolves
+    pf = cfg.is_partial_fk((("lineitem", "l_orderkey"), ("orders", "o_orderkey")))
+    assert pf is not None and pf[0] == "fact_dim"
+    pf2 = cfg.is_partial_fk((("orders", "o_orderkey"), ("lineitem", "l_orderkey")))
+    assert pf2 is not None and pf2[0] == "dim_fact"
+    # multi-column pk
+    assert cfg.is_pkey((("partsupp", "ps_partkey"), ("partsupp", "ps_suppkey"))) \
+        is not None
+
+
+def test_date_encoding():
+    import datetime
+    # the l_shipdate SF10 bounds are day counts in the 1992-1998 window
+    d = mplan.day_count(datetime.date(1992, 1, 1))
+    assert 727000 < d < 729000
+    assert mplan.day_count(datetime.date(1, 1, 1)) == 366
+    assert mplan.add_months_rollover(datetime.date(1994, 1, 1), 12) \
+        == datetime.date(1995, 1, 1)
+    assert mplan.add_months_rollover(datetime.date(2005, 1, 30), 1) \
+        == datetime.date(2005, 3, 2)
+
+
+QUERIES = [f"{i:02d}" for i in range(1, 23)]
+
+# Queries that cannot lower against the *committed* SF10 metadata snapshot.
+# Each of these also fails in the reference compiler (see SURVEY.md §7.4 and
+# the per-query notes below); they are tracked as capability work, with
+# execution-level coverage coming from the generated datasets whose
+# dictionaries are complete.
+#   02 — 'EUROPE' missing from the committed dictionary.csv
+#   13 — left outer join (+ leftover LIKE cond); unimplemented in reference
+#        (Vlite.hs:1223-1225)
+#   17 — N:M equijoin; reference FK-gather path requires a unique dim side
+#        (Vlite.hs:1280)
+#   21 — self-equijoin on a non-PK column; reference has no general equijoin
+#   22 — substring() over dictionary codes feeding IN
+KNOWN_GAPS_COMMITTED_META = {"02", "13", "17", "21", "22"}
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_mplan_lowering_tpch10(tpch10_config, q):
+    f = os.path.join(TESTS, "tpch10noorder", f"{q}.sql.mplan")
+    rel = plan_parser.from_file(f)
+    try:
+        m = mplan.mplan_from_parse_tree(rel, tpch10_config)
+    except mplan.LowerError:
+        assert q in KNOWN_GAPS_COMMITTED_META, f"{q} regressed"
+        return
+    m = mplan.fuse_selects(mplan.push_fk_joins(m))
+    assert m is not None
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_vir_lowering_tpch10(tpch10_config, q):
+    f = os.path.join(TESTS, "tpch10noorder", f"{q}.sql.mplan")
+    rel = plan_parser.from_file(f)
+    try:
+        m = mplan.mplan_from_parse_tree(rel, tpch10_config)
+        m = mplan.fuse_selects(mplan.push_fk_joins(m))
+        vexps = vir.vexps_from_mplan(m, tpch10_config)
+    except (mplan.LowerError, vir.VirError):
+        assert q in KNOWN_GAPS_COMMITTED_META, f"{q} regressed"
+        return
+    assert vexps
+    cleaned = passes.engine_passes(vexps)
+    assert len(cleaned) == len(vexps)
+    for v in cleaned:
+        assert v.info.count >= 0
