@@ -1,0 +1,690 @@
+"""VIR -> XLA: compile a query's vector-IR DAG into one jitted JAX program.
+
+Execution model (the TPU answer to dynamic cardinality, SURVEY.md §7.3):
+every vector is a fixed-size buffer whose length is the node's *static count
+bound* from metadata inference, paired with a dynamic ``valid`` scalar; slots
+past ``valid`` hold zeros.  All shapes are static, so the whole query traces
+and compiles once per (query, dataset) and every op fuses under XLA.
+
+Physical dtypes are chosen per node from the catalog's value bounds: int32
+when the bounds fit (halving HBM traffic — the catalog makes this exact),
+int64 otherwise.
+
+Op lowering highlights:
+  * FoldSelect (compaction)  -> jnp.nonzero with a static size bound
+  * Fold by group ids        -> dense: jax.ops.segment_* over the id domain;
+                                sparse: sort + run-segmented reduce; the
+                                sort/occupancy work is shared across all
+                                aggregates of one group-by via a cache
+  * Partition(dense range)   -> a subtraction (pivots never materialize)
+  * Like                     -> the pattern is evaluated over the column's
+                                (small) string dictionary at trace time and
+                                becomes an integer-set membership test
+  * Scatter                  -> out-of-range drop semantics; uncovered = 0
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+from jax import lax
+
+from .. import mplan as M
+from .. import vir as V
+from ..catalog import ColInfo, Config
+from ..mtypes import DDate, DDecimal, DString, INT32_MAX, INT32_MIN
+from ..names import Name, name_str
+from .columnstore import ColumnStore
+
+DENSE_DOMAIN_LIMIT = 1 << 20
+
+
+def dtype_for(info: ColInfo):
+    l, u = info.bounds
+    if INT32_MIN <= l and u <= INT32_MAX:
+        return jnp.int32
+    return jnp.int64
+
+
+@dataclass
+class Val:
+    """A runtime vector: fixed-size buffer + dynamic valid length."""
+
+    data: Optional[jnp.ndarray]  # None for an unmaterialized RangeC
+    valid: Union[int, jnp.ndarray]
+    length: int  # static buffer length
+    lazy_range: Optional[Tuple[int, int]] = None  # (rmin, rstep) when data is None
+
+    @property
+    def full(self) -> bool:
+        return isinstance(self.valid, int) and self.valid == self.length
+
+
+def _vmin(a, b):
+    if isinstance(a, int) and isinstance(b, int):
+        return min(a, b)
+    return jnp.minimum(jnp.asarray(a, jnp.int64), jnp.asarray(b, jnp.int64))
+
+
+def _mask_tail(data: jnp.ndarray, valid, length: int) -> jnp.ndarray:
+    """Re-establish the zeros-past-valid invariant."""
+    if isinstance(valid, int) and valid == length:
+        return data
+    idx = jnp.arange(length, dtype=jnp.int32 if length <= INT32_MAX else jnp.int64)
+    return jnp.where(idx < valid, data, jnp.zeros((), data.dtype))
+
+
+def like_to_regex(pattern: str) -> "re.Pattern":
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+class Compiler:
+    """Trace-time evaluator for one query DAG.
+
+    ``join_sizes`` maps a JoinIndex key (lkeys.skey, rkeys.skey) to the
+    concrete match count resolved by the counting pre-pass (two-phase
+    execution; SURVEY.md §7.3 risk 1)."""
+
+    def __init__(self, cfg: Config, store: ColumnStore,
+                 join_sizes: Optional[Dict[tuple, int]] = None):
+        self.cfg = cfg
+        self.store = store
+        self.join_sizes = join_sizes or {}
+
+    # ------------------------------------------------------------------ trace
+    def trace(self, vexps: List[V.Vexp], tables: Dict[Name, jnp.ndarray]
+              ) -> List[Val]:
+        self.memo: Dict[int, Val] = {}
+        self.group_cache: Dict[tuple, dict] = {}
+        self.join_cache: Dict[tuple, dict] = {}
+        self.tables = tables
+        return [self._force(self.eval(v)) for v in vexps]
+
+    def eval(self, v: V.Vexp) -> Val:
+        hit = self.memo.get(v.skey)
+        if hit is not None:
+            return hit
+        out = self._eval(v)
+        self.memo[v.skey] = out
+        return out
+
+    def _force(self, val: Val) -> Val:
+        if val.data is not None:
+            return val
+        rmin, rstep = val.lazy_range
+        dt = jnp.int64 if (abs(rmin) + abs(rstep) * val.length > INT32_MAX) \
+            else jnp.int32
+        data = rmin + rstep * jnp.arange(val.length, dtype=dt)
+        data = _mask_tail(data, val.valid, val.length)
+        return Val(data=data, valid=val.valid, length=val.length)
+
+    # ------------------------------------------------------------------- ops
+    def _eval(self, v: V.Vexp) -> Val:
+        vx = v.vx
+        L = v.info.count
+        dt = dtype_for(v.info)
+
+        if isinstance(vx, V.Load):
+            arr = self.tables.get(vx.name)
+            if arr is None:
+                raise KeyError(f"column {name_str(vx.name)} not in store")
+            assert len(arr) == L, (vx.name, len(arr), L)
+            return Val(data=arr, valid=L, length=L)
+
+        if isinstance(vx, V.RangeC):
+            return Val(data=None, valid=vx.rcount, length=vx.rcount,
+                       lazy_range=(vx.rmin, vx.rstep))
+
+        if isinstance(vx, V.RangeV):
+            ref = self.eval(vx.rref)
+            data = (vx.rmin
+                    + vx.rstep * jnp.arange(ref.length, dtype=jnp.int64)
+                    ).astype(dt)
+            data = _mask_tail(data, ref.valid, ref.length)
+            return Val(data=data, valid=ref.valid, length=ref.length)
+
+        if isinstance(vx, V.Binop):
+            return self._eval_binop(v, vx)
+
+        if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+            src = self._force(self.eval(vx.shsource))
+            pos = self._force(self.eval(vx.shpos))
+            p = jnp.clip(pos.data, 0, src.length - 1)
+            data = src.data[p].astype(dt)
+            # gathering from an empty source yields an empty vector (the
+            # broadcast-join path gathers src[0] of a possibly-empty 1-row
+            # side, Vlite.hs:694-713)
+            if isinstance(src.valid, int) and src.valid > 0:
+                valid = pos.valid
+            elif isinstance(src.valid, int):
+                valid = 0
+            else:
+                valid = jnp.where(src.valid > 0,
+                                  jnp.asarray(pos.valid, jnp.int64), 0)
+            data = _mask_tail(data, valid, pos.length)
+            return Val(data=data, valid=valid, length=pos.length)
+
+        if isinstance(vx, V.Shuffle) and vx.shop == V.SCATTER:
+            src = self._force(self.eval(vx.shsource))
+            pos = self._force(self.eval(vx.shpos))
+            if vx.shshape is not None:
+                L = self.eval(vx.shshape).length
+            else:
+                L = vx.shpos.info.bounds[1] + 1
+            n = min(src.length, pos.length)
+            # invalid rows scatter out of range and are dropped
+            idx = jnp.arange(n, dtype=jnp.int64)
+            limit = _vmin(src.valid, pos.valid)
+            p = jnp.where(idx < limit, pos.data[:n].astype(jnp.int64), L)
+            out = jnp.zeros((L,), dt).at[p].set(
+                src.data[:n].astype(dt), mode="drop")
+            return Val(data=out, valid=L, length=L)
+
+        if isinstance(vx, V.Fold) and vx.foldop == V.FSEL:
+            b = self._force(self.eval(vx.fdata))
+            L = b.length
+            mask = b.data != 0
+            (sel,) = jnp.nonzero(mask, size=L, fill_value=0)
+            nz = jnp.sum(mask.astype(jnp.int64))
+            sel = _mask_tail(sel.astype(dt), nz, L)
+            return Val(data=sel, valid=nz, length=L)
+
+        if isinstance(vx, V.Fold):
+            return self._eval_fold(v, vx)
+
+        if isinstance(vx, V.Partition):
+            return self._eval_partition(v, vx)
+
+        if isinstance(vx, V.Semisort):
+            s = self._force(self.eval(vx.sdata))
+            perm = jnp.argsort(s.data, stable=True)
+            return Val(data=perm.astype(dt), valid=s.valid, length=s.length)
+
+        if isinstance(vx, V.Like):
+            return self._eval_like(v, vx)
+
+        if isinstance(vx, V.DictMap):
+            dval = self._force(self.eval(vx.ldata))
+            src = np.asarray([a for a, _ in vx.mapping], dtype=np.int64)
+            dstc = np.asarray([b for _, b in vx.mapping], dtype=np.int64)
+            sarr = jnp.asarray(src)
+            darr = jnp.asarray(dstc)
+            pos = jnp.clip(jnp.searchsorted(sarr, dval.data.astype(jnp.int64)),
+                           0, len(src) - 1)
+            hitv = jnp.where(sarr[pos] == dval.data, darr[pos], 0)
+            out = _mask_tail(hitv.astype(dt), dval.valid, dval.length)
+            return Val(data=out, valid=dval.valid, length=dval.length)
+
+        if isinstance(vx, V.VShuffle):
+            # any permutation is legal; identity preserves determinism
+            return self.eval(vx.varg)
+
+        if isinstance(vx, V.CrossProduct):
+            lv = self.eval(vx.left)
+            rv = self.eval(vx.right)
+            L = lv.length * rv.length
+            nv = jnp.asarray(lv.valid, jnp.int64)
+            mv = jnp.asarray(rv.valid, jnp.int64)
+            total = nv * mv
+            i = jnp.arange(L, dtype=jnp.int64)
+            mv_safe = jnp.maximum(mv, 1)
+            if vx.variant == V.COUTER:
+                data = jnp.where(i < total, i // mv_safe, 0)
+            else:
+                data = jnp.where(i < total, i % mv_safe, 0)
+            return Val(data=data.astype(dt), valid=total, length=L)
+
+        if isinstance(vx, V.JoinIndex):
+            return self._eval_join_index(v, vx)
+
+        raise TypeError(f"engine cannot lower {type(vx).__name__}")
+
+    # ------------------------------------------------------------- equijoins
+    def _join_artifacts(self, lkeys: V.Vexp, rkeys: V.Vexp) -> dict:
+        """Sort-merge join core, shared by every JoinIndex over one key pair:
+        sort the right keys, locate each left key's run by binary search."""
+        key = (lkeys.skey, rkeys.skey)
+        hit = self.join_cache.get(key)
+        if hit is not None:
+            return hit
+        lv = self._force(self.eval(lkeys))
+        rv = self._force(self.eval(rkeys))
+        n, m = lv.length, rv.length
+        SENT_R = jnp.int64(2**62)
+        SENT_L = jnp.int64(2**62 - 1)
+        ridx = jnp.arange(m, dtype=jnp.int64)
+        r_ok = jnp.where(ridx < jnp.asarray(rv.valid, jnp.int64),
+                         rv.data.astype(jnp.int64), SENT_R)
+        rs, rs_idx = lax.sort((r_ok, ridx), num_keys=1)
+        lidx = jnp.arange(n, dtype=jnp.int64)
+        l_ok = jnp.where(lidx < jnp.asarray(lv.valid, jnp.int64),
+                         lv.data.astype(jnp.int64), SENT_L)
+        lo = jnp.searchsorted(rs, l_ok, side="left")
+        hi = jnp.searchsorted(rs, l_ok, side="right")
+        cnt = (hi - lo).astype(jnp.int64)
+        cum = jnp.cumsum(cnt)
+        total = cum[-1] if n > 0 else jnp.int64(0)
+        art = dict(n=n, m=m, rs_idx=rs_idx, lo=lo, cnt=cnt, cum=cum,
+                   total=total, lvalid=lv.valid)
+        self.join_cache[key] = art
+        return art
+
+    def _eval_join_index(self, v: V.Vexp, vx: V.JoinIndex) -> Val:
+        art = self._join_artifacts(vx.lkeys, vx.rkeys)
+        dt = dtype_for(v.info)
+        n = art["n"]
+        side = vx.jside
+        if side in (V.JSEMI, V.JANTI):
+            has = art["cnt"] > 0
+            lidx = jnp.arange(n, dtype=jnp.int64)
+            lmask = lidx < jnp.asarray(art["lvalid"], jnp.int64)
+            keep = (has if side == V.JSEMI else ~has) & lmask
+            (sel,) = jnp.nonzero(keep, size=n, fill_value=0)
+            nz = jnp.sum(keep.astype(jnp.int64))
+            return Val(data=_mask_tail(sel.astype(dt), nz, n), valid=nz,
+                       length=n)
+        B = self.join_sizes.get((vx.lkeys.skey, vx.rkeys.skey))
+        if B is None:
+            raise RuntimeError(
+                "JoinIndex size not resolved; run the counting pre-pass")
+        total = art["total"]
+        outer = side in (V.JOUTER_LEFT, V.JOUTER_RIGHT, V.JOUTER_VALID)
+        k = jnp.arange(B, dtype=jnp.int64)
+        if not outer:
+            li = jnp.searchsorted(art["cum"], k, side="right")
+            li_c = jnp.clip(li, 0, n - 1)
+            base = art["cum"][li_c] - art["cnt"][li_c]
+            rpos = art["lo"][li_c] + (k - base)
+            if side == V.JLEFT:
+                data = jnp.where(k < total, li_c, 0)
+            else:
+                data = jnp.where(k < total,
+                                 art["rs_idx"][jnp.clip(rpos, 0, art["m"] - 1)],
+                                 0)
+            return Val(data=_mask_tail(data.astype(dt), total, B),
+                       valid=total, length=B)
+        # outer: matched pairs first, then one row per unmatched left row
+        lidx = jnp.arange(n, dtype=jnp.int64)
+        lmask = lidx < jnp.asarray(art["lvalid"], jnp.int64)
+        unmatched = (art["cnt"] == 0) & lmask
+        n_un = jnp.sum(unmatched.astype(jnp.int64))
+        total_outer = total + n_un
+        (un_sel,) = jnp.nonzero(unmatched, size=n, fill_value=0)
+        li = jnp.searchsorted(art["cum"], k, side="right")
+        li_c = jnp.clip(li, 0, n - 1)
+        base = art["cum"][li_c] - art["cnt"][li_c]
+        rpos = art["lo"][li_c] + (k - base)
+        un_k = jnp.clip(k - total, 0, n - 1)
+        if side == V.JOUTER_LEFT:
+            data = jnp.where(k < total, li_c, un_sel[un_k])
+        elif side == V.JOUTER_RIGHT:
+            data = jnp.where(k < total,
+                             art["rs_idx"][jnp.clip(rpos, 0, art["m"] - 1)],
+                             0)
+        else:  # JOUTER_VALID
+            data = (k < total).astype(jnp.int64)
+        data = jnp.where(k < total_outer, data, 0)
+        return Val(data=data.astype(dt), valid=total_outer, length=B)
+
+    # ---------------------------------------------------------------- binops
+    def _eval_binop(self, v: V.Vexp, vx: V.Binop) -> Val:
+        lv = self._force(self.eval(vx.left))
+        rv = self._force(self.eval(vx.right))
+        L = min(lv.length, rv.length)
+        dt = dtype_for(v.info)
+        # compute in a width that holds operands and result
+        cdt = jnp.promote_types(jnp.promote_types(lv.data.dtype, rv.data.dtype), dt)
+        a = lv.data[:L].astype(cdt)
+        b = rv.data[:L].astype(cdt)
+        op = vx.binop
+        valid = _vmin(lv.valid, rv.valid)
+        if op == M.ADD:
+            out = a + b
+        elif op == M.SUB:
+            out = a - b
+        elif op == M.MUL:
+            out = a * b
+        elif op == M.DIV:
+            out = lax.div(a, jnp.where(b == 0, jnp.ones((), cdt), b))
+        elif op == M.MOD:
+            out = lax.rem(a, jnp.where(b == 0, jnp.ones((), cdt), b))
+        elif op == M.MIN:
+            out = jnp.minimum(a, b)
+        elif op == M.MAX:
+            out = jnp.maximum(a, b)
+        elif op == M.GT:
+            out = (a > b).astype(dt)
+        elif op == M.LT:
+            out = (a < b).astype(dt)
+        elif op == M.GEQ:
+            out = (a >= b).astype(dt)
+        elif op == M.LEQ:
+            out = (a <= b).astype(dt)
+        elif op == M.EQ:
+            out = (a == b).astype(dt)
+        elif op == M.NEQ:
+            out = (a != b).astype(dt)
+        elif op == M.LOGAND:
+            out = ((a != 0) & (b != 0)).astype(dt)
+        elif op == M.LOGOR:
+            out = ((a != 0) | (b != 0)).astype(dt)
+        elif op == M.BITAND:
+            out = a & b
+        elif op == M.BITOR:
+            out = a | b
+        elif op == M.BITSHIFT:
+            # sign of rhs encodes direction: negative shifts left
+            # (Vlite.hs:205-208)
+            out = jnp.where(b < 0,
+                            a << jnp.minimum(-b, 63),
+                            a >> jnp.minimum(b, 63))
+        else:
+            raise ValueError(f"unknown binop {op}")
+        out = _mask_tail(out.astype(dt), valid, L)
+        return Val(data=out, valid=valid, length=L)
+
+    # ----------------------------------------------------------------- folds
+    def _group_artifacts(self, fgroups: V.Vexp, L_out: int) -> dict:
+        key = (fgroups.skey, L_out)
+        hit = self.group_cache.get(key)
+        if hit is not None:
+            return hit
+        g = self._force(self.eval(fgroups))
+        gmin, gmax = fgroups.info.bounds
+        assert gmin >= 0, "group ids must be non-negative"
+        domain = gmax + 1
+        n = g.length
+        idx = jnp.arange(n, dtype=jnp.int64)
+        validmask = idx < jnp.asarray(g.valid, jnp.int64)
+        art: dict = {"n": n, "domain": domain, "validmask": validmask}
+        if domain <= DENSE_DOMAIN_LIMIT:
+            ids = jnp.clip(g.data.astype(jnp.int64), 0, domain - 1)
+            ids_ok = jnp.where(validmask, ids, domain)
+            occ = jax.ops.segment_sum(validmask.astype(jnp.int32), ids_ok,
+                                      num_segments=domain + 1)[:domain] > 0
+            (sel,) = jnp.nonzero(occ, size=L_out, fill_value=0)
+            ngroups = jnp.sum(occ.astype(jnp.int64))
+            art.update(dense=True, ids_ok=ids_ok, sel=sel, ngroups=ngroups)
+        else:
+            ids = g.data.astype(jnp.int64)
+            ids_ok = jnp.where(validmask, ids, jnp.int64(domain))
+            sorted_ids, perm = lax.sort((ids_ok, idx), num_keys=1)
+            sorted_valid = sorted_ids < domain
+            prev = jnp.concatenate([sorted_ids[:1] - 1, sorted_ids[:-1]])
+            head = sorted_ids != prev
+            run_id = jnp.cumsum(head.astype(jnp.int64)) - 1
+            run_ok = jnp.where(sorted_valid, run_id, L_out)
+            ngroups = jnp.sum((head & sorted_valid).astype(jnp.int64))
+            art.update(dense=False, perm=perm, run_ok=run_ok, ngroups=ngroups)
+        self.group_cache[key] = art
+        return art
+
+    def _eval_fold(self, v: V.Vexp, vx: V.Fold) -> Val:
+        dt = dtype_for(v.info)
+        g = self.eval(vx.fgroups)
+        domain = vx.fgroups.info.bounds[1] + 1
+        dval = self._force(self.eval(vx.fdata))
+        L_out = min(domain, g.length, dval.length)
+        art = self._group_artifacts(vx.fgroups, L_out)
+        n = art["n"]
+        data = dval.data[:n].astype(dt)
+        segop = {V.FSUM: jax.ops.segment_sum,
+                 V.FMAX: jax.ops.segment_max,
+                 V.FMIN: jax.ops.segment_min,
+                 V.FCHOOSE: jax.ops.segment_max}[vx.foldop]
+        if art["dense"]:
+            domain = art["domain"]
+            agg = segop(data, art["ids_ok"], num_segments=domain + 1)[:domain]
+            # min/max over empty segments yield identity sentinels; the
+            # occupancy compaction drops those slots
+            out = agg[art["sel"]]
+        else:
+            sorted_data = data[art["perm"]]
+            agg = segop(sorted_data, art["run_ok"],
+                        num_segments=L_out + 1)[:L_out]
+            out = agg
+        ngroups = art["ngroups"]
+        out = _mask_tail(out.astype(dt), ngroups, L_out)
+        return Val(data=out, valid=ngroups, length=L_out)
+
+    # ------------------------------------------------------------- partitions
+    def _eval_partition(self, v: V.Vexp, vx: V.Partition) -> Val:
+        dval = self._force(self.eval(vx.pdata))
+        dt = dtype_for(v.info)
+        piv = vx.pivots.vx
+        if isinstance(piv, V.RangeC) and piv.rstep == 1:
+            out = jnp.clip(dval.data.astype(jnp.int64) - piv.rmin, 0,
+                           piv.rcount - 1)
+        else:
+            pv = self._force(self.eval(vx.pivots))
+            out = jnp.searchsorted(pv.data, dval.data, side="left")
+        out = _mask_tail(out.astype(dt), dval.valid, dval.length)
+        return Val(data=out, valid=dval.valid, length=dval.length)
+
+    # ------------------------------------------------------------------- like
+    def _eval_like(self, v: V.Vexp, vx: V.Like) -> Val:
+        dval = self._force(self.eval(vx.ldata))
+        dec = self.store.decoders.get(vx.lcol)
+        if dec is None:
+            raise KeyError(
+                f"no string dictionary for column {name_str(vx.lcol)}")
+        rx = like_to_regex(vx.lpattern)
+        codes = sorted(code for code, s in dec.items() if rx.match(s))
+        dt = dtype_for(v.info)
+        if not codes:
+            out = jnp.zeros((dval.length,), dt)
+            return Val(data=out, valid=dval.valid, length=dval.length)
+        carr = jnp.asarray(np.asarray(codes, dtype=np.int64))
+        pos = jnp.searchsorted(carr, dval.data.astype(jnp.int64))
+        found = carr[jnp.clip(pos, 0, len(codes) - 1)] == dval.data
+        out = _mask_tail(found.astype(dt), dval.valid, dval.length)
+        return Val(data=out, valid=dval.valid, length=dval.length)
+
+
+# ------------------------------------------------------------------ query API
+@dataclass
+class QueryResult:
+    names: List[Optional[Name]]
+    dtypes: List[object]
+    columns: List[np.ndarray]  # raw encoded values, trimmed to valid length
+
+    def decoded(self, store: ColumnStore) -> List[Tuple[str, np.ndarray]]:
+        """Decode raw ints per display type (the resolve.py step)."""
+        out = []
+        for nm, dt, col in zip(self.names, self.dtypes, self.columns):
+            label = name_str(nm) if nm else "val"
+            if isinstance(dt, DDecimal) and dt.point > 0:
+                out.append((label, col / (10 ** dt.point)))
+            elif isinstance(dt, DString):
+                dec = store.decoders.get(dt.decoder, {})
+                out.append((label,
+                            np.array([dec.get(int(c), str(c)) for c in col])))
+            elif isinstance(dt, DDate):
+                import datetime
+
+                out.append((label, np.array(
+                    [datetime.date.fromordinal(int(c) - 365).isoformat()
+                     for c in col])))
+            else:
+                out.append((label, col))
+        return out
+
+
+class CompiledQuery:
+    """One query compiled against one store: a single jitted XLA program.
+
+    When the DAG contains data-dependent-cardinality joins (JoinIndex
+    inner/outer sides), compilation is two-phase: small jitted counting
+    programs resolve each join's exact output size against the live data,
+    then the main program is traced with those sizes as static shapes."""
+
+    def __init__(self, cfg: Config, vexps: List[V.Vexp], store: ColumnStore):
+        self.cfg = cfg
+        self.vexps = vexps
+        self.store = store
+        self.loads = sorted({vx.name for vx in _all_loads(vexps)})
+        self.join_sizes: Dict[tuple, int] = {}
+        self._args = None
+        self._resolve_join_sizes()
+        self._jitted = jax.jit(self._run)
+
+    # ----------------------------------------------------- two-phase sizing
+    def _dynamic_join_pairs(self):
+        """(lkeys, rkeys, needs_outer) per distinct key pair, in dependency
+        (post-)order so nested joins resolve before their consumers."""
+        seen_nodes = set()
+        pairs: Dict[tuple, list] = {}
+        order = []
+
+        def go(v: V.Vexp):
+            if v.skey in seen_nodes:
+                return
+            seen_nodes.add(v.skey)
+            for c in _children(v.vx):
+                go(c)
+            if isinstance(v.vx, V.JoinIndex) and v.vx.jside not in (
+                    V.JSEMI, V.JANTI):
+                key = (v.vx.lkeys.skey, v.vx.rkeys.skey)
+                outer = v.vx.jside in (V.JOUTER_LEFT, V.JOUTER_RIGHT,
+                                       V.JOUTER_VALID)
+                if key not in pairs:
+                    pairs[key] = [v.vx.lkeys, v.vx.rkeys, outer]
+                    order.append(key)
+                else:
+                    pairs[key][2] = pairs[key][2] or outer
+
+        for v in self.vexps:
+            go(v)
+        return [tuple(pairs[k]) for k in order]
+
+    def _resolve_join_sizes(self):
+        dyn = self._dynamic_join_pairs()
+        if not dyn:
+            return
+        args = self.device_args()
+        # the counting programs run eagerly (op-by-op): they execute once per
+        # (query, dataset), the arithmetic is tiny next to the main program,
+        # and per-op dispatch sidesteps a rare XLA:CPU fused-program stall
+        # observed under the test harness
+        with jax.disable_jit():
+            for lk, rk, outer in dyn:
+                tables = dict(zip(self.loads, args))
+                c = Compiler(self.cfg, self.store, self.join_sizes)
+                c.memo, c.group_cache, c.join_cache = {}, {}, {}
+                c.tables = tables
+                art = c._join_artifacts(lk, rk)
+                total = art["total"]
+                if outer:
+                    lidx = jnp.arange(art["n"], dtype=jnp.int64)
+                    lmask = lidx < jnp.asarray(art["lvalid"], jnp.int64)
+                    total = total + jnp.sum(
+                        ((art["cnt"] == 0) & lmask).astype(jnp.int64))
+                self.join_sizes[(lk.skey, rk.skey)] = max(int(total), 1)
+
+    def _run(self, table_arrays: Tuple[jnp.ndarray, ...]):
+        tables = dict(zip(self.loads, table_arrays))
+        c = Compiler(self.cfg, self.store, self.join_sizes)
+        vals = c.trace(self.vexps, tables)
+        return tuple((v.data, jnp.asarray(v.valid, jnp.int64)) for v in vals)
+
+    def device_args(self):
+        if self._args is None:
+            self._args = tuple(jnp.asarray(self.store.columns[n])
+                               for n in self.loads)
+        return self._args
+
+    def __call__(self, args=None) -> QueryResult:
+        if args is None:
+            args = self.device_args()
+        outs = self._jitted(args)
+        cols, names, dts = [], [], []
+        for v, (data, valid) in zip(self.vexps, outs):
+            n = int(valid)
+            cols.append(np.asarray(data)[:n])
+            names.append(v.name)
+            dts.append(v.info.dtype)
+        return QueryResult(names=names, dtypes=dts, columns=cols)
+
+
+def _all_loads(vexps: List[V.Vexp]):
+    seen = set()
+    out = []
+
+    def go(v: V.Vexp):
+        if v.skey in seen:
+            return
+        seen.add(v.skey)
+        if isinstance(v.vx, V.Load):
+            out.append(v.vx)
+        for c in _children(v.vx):
+            go(c)
+        if v.lineage is not None:
+            go(v.lineage.mask)
+
+    for v in vexps:
+        go(v)
+    return out
+
+
+def _children(vx: V.Vx) -> List[V.Vexp]:
+    if isinstance(vx, (V.Load, V.RangeC)):
+        return []
+    if isinstance(vx, V.RangeV):
+        return [vx.rref]
+    if isinstance(vx, V.Binop):
+        return [vx.left, vx.right]
+    if isinstance(vx, V.Shuffle):
+        out = [vx.shsource, vx.shpos]
+        if vx.shshape is not None:
+            out.append(vx.shshape)
+        return out
+    if isinstance(vx, V.Fold):
+        return [vx.fgroups, vx.fdata]
+    if isinstance(vx, V.Semisort):
+        return [vx.sdata]
+    if isinstance(vx, V.Partition):
+        return [vx.pivots, vx.pdata]
+    if isinstance(vx, V.Like):
+        return [vx.ldata]
+    if isinstance(vx, V.DictMap):
+        return [vx.ldata]
+    if isinstance(vx, V.VShuffle):
+        return [vx.varg]
+    if isinstance(vx, V.CrossProduct):
+        return [vx.left, vx.right]
+    if isinstance(vx, V.JoinIndex):
+        return [vx.lkeys, vx.rkeys]
+    raise TypeError(vx)
+
+
+def compile_plan_text(text: str, cfg: Config, store: ColumnStore,
+                      cleanup: bool = True) -> CompiledQuery:
+    """mplan text -> CompiledQuery (the ``compile`` driver, MainFuns.hs:172-188)."""
+    from ..fe import lexer, plan_parser
+    from .. import mplan, passes, vir
+
+    rel = plan_parser.parse(lexer.strip_plan_comments(text))
+    m = mplan.mplan_from_parse_tree(rel, cfg)
+    m = mplan.fuse_selects(mplan.push_fk_joins(m))
+    vexps = vir.vexps_from_mplan(m, cfg)
+    if cleanup:
+        vexps = passes.engine_passes(vexps)
+    return CompiledQuery(cfg, vexps, store)

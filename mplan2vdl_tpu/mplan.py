@@ -61,6 +61,8 @@ class MRef:
 class MLiteral:
     dtype: DType
     rep: int  # encoded representation
+    raw: Optional[str] = None  # original text of string literals (for
+    # re-resolution against derived dictionaries, e.g. substring outputs)
 
 
 @dataclass(frozen=True)
@@ -106,8 +108,19 @@ class MLike:
     pattern: str
 
 
+@dataclass(frozen=True)
+class MSubstring:
+    """substring(col from start for length) over a dictionary-encoded string
+    column.  Not supported by the reference (no Mplan.hs case); evaluated
+    over the column's dictionary at compile time (extension for Q22)."""
+
+    arg: "ScalarExpr"
+    start: int
+    length: int
+
+
 ScalarExpr = Union[MRef, MLiteral, MIdentity, MUnary, MBinop, MIfThenElse,
-                   MCast, MIn, MLike]
+                   MCast, MIn, MLike, MSubstring]
 
 
 # ---------------------------------------------------------------- aggregates
@@ -236,7 +249,10 @@ def _read_int(s: str) -> int:
 def _resolve_char_literal(cfg: Config, s: str) -> int:
     code = cfg.dictionary.get(s)
     if code is None:
-        raise LowerError(f"string not found in dictionary: {s!r}")
+        # A literal absent from every column's dictionary can never compare
+        # equal to any stored code; encode it as a sentinel no column uses.
+        # (The reference errors instead, Mplan.hs:42-44; extension.)
+        return -1
     return code
 
 
@@ -284,6 +300,19 @@ def _sc(cfg: Config, e: P.ScalarExpr, dt: Optional[DType]) -> ScalarExpr:
             return MIfThenElse(_sc(cfg, args[0].expr, dt),
                                _sc(cfg, args[1].expr, dt),
                                _sc(cfg, args[2].expr, dt))
+        if key == "substring" and len(args) == 3:
+            inner = _sc(cfg, args[0].expr, dt)
+            start = _sc(cfg, args[1].expr, None)
+            length = _sc(cfg, args[2].expr, None)
+
+            def unlit(x):
+                while isinstance(x, MCast):
+                    x = x.arg
+                if not isinstance(x, MLiteral):
+                    raise LowerError("substring needs literal start/length")
+                return x.rep
+
+            return MSubstring(inner, unlit(start), unlit(length))
         if len(args) == 1:
             if key not in _UNFUN:
                 raise LowerError(f"unknown unary function {name_str(fname)}")
@@ -319,14 +348,16 @@ def _sc(cfg: Config, e: P.ScalarExpr, dt: Optional[DType]) -> ScalarExpr:
             return MLiteral(DDecimal(0), _read_int(e.rep))
         if k == "char":
             if isinstance(dt, DString):
-                return MLiteral(dt, _resolve_char_literal(cfg, e.rep))
+                return MLiteral(dt, _resolve_char_literal(cfg, e.rep),
+                                raw=e.rep)
             # The display-type context is unavailable when the compared column
             # is a derived alias (e.g. ``L5.r_name`` in Q2) — the reference
             # errors here (Mplan.hs:480-482 forces a failing colinfo lookup).
             # The dictionary is global and keyed by string only
             # (Config.hs:83-86), so the code resolves without the context;
             # we attach an anonymous decoder.  (Deviation: extends coverage.)
-            return MLiteral(DString(("?",)), _resolve_char_literal(cfg, e.rep))
+            return MLiteral(DString(("?",)), _resolve_char_literal(cfg, e.rep),
+                            raw=e.rep)
         raise LowerError(f"unexpected literal: {e}")
 
     if isinstance(e, P.Infix):

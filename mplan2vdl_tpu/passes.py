@@ -17,9 +17,10 @@ import dataclasses
 from typing import Callable, Dict, List, Optional
 
 from . import mplan as M
-from .vir import (Binop, CrossProduct, Fold, GATHER, Like, Load, Partition,
-                  RangeC, RangeV, SCATTER, Semisort, Shuffle, Vexp, VShuffle,
-                  Vx, complete, eq_, gt_, if_then_else, lt_, ones_, sub_)
+from .vir import (Binop, CrossProduct, DictMap, Fold, GATHER, JoinIndex, Like, Load,
+                  Partition, RangeC, RangeV, SCATTER, Semisort, Shuffle,
+                  Vexp, VShuffle, Vx, complete, eq_, gt_, if_then_else, lt_,
+                  ones_, sub_)
 
 Rule = Callable[[Vx], Optional[Vexp]]
 
@@ -112,8 +113,14 @@ def _transform(rule: Rule, v: Vexp, memo: Dict[int, Vexp]) -> Vexp:
         elif isinstance(vx, Like):
             new = Like(ldata=rec(vx.ldata), lpattern=vx.lpattern,
                        lcol=vx.lcol)
+        elif isinstance(vx, DictMap):
+            new = DictMap(ldata=rec(vx.ldata), lcol=vx.lcol,
+                          mapping=vx.mapping, derived=vx.derived)
         elif isinstance(vx, VShuffle):
             new = VShuffle(varg=rec(vx.varg))
+        elif isinstance(vx, JoinIndex):
+            new = JoinIndex(lkeys=rec(vx.lkeys), rkeys=rec(vx.rkeys),
+                            jside=vx.jside)
         else:
             raise TypeError(vx)
         fired = rule(new)

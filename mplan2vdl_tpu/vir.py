@@ -106,6 +106,20 @@ class Like:
 
 
 @dataclass(frozen=True)
+class DictMap:
+    """Recode a dictionary-encoded column through a compile-time-computed
+    string function (e.g. substring): ``out[i] = mapping[data[i]]`` where
+    the mapping and the derived dictionary were evaluated over the source
+    column's (small) dictionary on the host.  New capability vs the
+    reference (Q22's substring; SURVEY.md §7.4)."""
+
+    ldata: "Vexp"
+    lcol: Name
+    mapping: Tuple[Tuple[int, int], ...]  # (source code -> derived code)
+    derived: Tuple[Tuple[int, str], ...]  # derived code -> string
+
+
+@dataclass(frozen=True)
 class VShuffle:
     varg: "Vexp"
 
@@ -117,8 +131,37 @@ class CrossProduct:
     variant: str  # COUTER | CINNER
 
 
+# JoinIndex sides
+JLEFT, JRIGHT = "left", "right"
+JSEMI, JANTI = "semi", "anti"
+JOUTER_LEFT, JOUTER_RIGHT, JOUTER_VALID = ("outer_left", "outer_right",
+                                           "outer_valid")
+
+
+@dataclass(frozen=True)
+class JoinIndex:
+    """General equijoin match indices — the op the reference lacks
+    (its joins require precomputed FK indices or 1-row sides; SURVEY.md
+    §7.4).  ``lkeys`` / ``rkeys`` are equality keys; the op yields, per
+    ``jside``:
+
+      left / right            row indices of the matching pairs
+      semi / anti             left-row indices with (no) match — static bound
+      outer_left/right/valid  pairs plus unmatched-left rows; outer_right
+                              is clipped for unmatched rows and outer_valid
+                              flags real matches
+
+    The inner/outer variants have data-dependent cardinality: the engine
+    resolves their buffer sizes with a counting pre-pass (two-phase
+    execution) rather than the unusable static n*m bound."""
+
+    lkeys: "Vexp"
+    rkeys: "Vexp"
+    jside: str
+
+
 Vx = Union[Load, RangeV, RangeC, Binop, Shuffle, Fold, Semisort, Partition,
-           Like, VShuffle, CrossProduct]
+           Like, DictMap, VShuffle, CrossProduct, JoinIndex]
 
 
 @dataclass(frozen=True)
@@ -190,10 +233,14 @@ def _struct_key(vx: Vx) -> tuple:
         return ("Partition", vx.pivots.skey, vx.pdata.skey)
     if isinstance(vx, Like):
         return ("Like", vx.ldata.skey, vx.lpattern, vx.lcol)
+    if isinstance(vx, DictMap):
+        return ("DictMap", vx.ldata.skey, vx.lcol, vx.mapping)
     if isinstance(vx, VShuffle):
         return ("VShuffle", vx.varg.skey)
     if isinstance(vx, CrossProduct):
         return ("CrossProduct", vx.left.skey, vx.right.skey, vx.variant)
+    if isinstance(vx, JoinIndex):
+        return ("JoinIndex", vx.lkeys.skey, vx.rkeys.skey, vx.jside)
     raise TypeError(vx)
 
 
@@ -271,6 +318,24 @@ def _tdiv(a: int, b: int) -> int:
 
 def infer_metadata(vx: Vx) -> ColInfo:
     """Vlite.hs:269-414, with the soundness tweaks noted in the module doc."""
+    if isinstance(vx, JoinIndex):
+        n = vx.lkeys.info.count
+        m = vx.rkeys.info.count
+        if vx.jside in (JLEFT, JRIGHT):
+            count = n * m  # loose; rebound by the engine's counting pass
+        elif vx.jside in (JSEMI, JANTI):
+            count = n
+        else:  # outer: every match plus at most one row per unmatched left
+            count = n * m + n
+        if vx.jside in (JRIGHT, JOUTER_RIGHT):
+            bounds = (0, max(m - 1, 0))
+        elif vx.jside == JOUTER_VALID:
+            bounds = (0, 1)
+        else:
+            bounds = (0, max(n - 1, 0))
+        return ColInfo(bounds=bounds, count=count, stype=SInt64(),
+                       dtype=_POINT0, trailing_zeros=0)
+
     if isinstance(vx, CrossProduct):
         n = vx.left.info.count
         m = vx.right.info.count
@@ -290,6 +355,12 @@ def infer_metadata(vx: Vx) -> ColInfo:
     if isinstance(vx, Like):
         return ColInfo(bounds=(0, 1), count=vx.ldata.info.count,
                        stype=SInt32(), trailing_zeros=0, dtype=_POINT0)
+
+    if isinstance(vx, DictMap):
+        hi = max((c for c, _ in vx.derived), default=0)
+        return ColInfo(bounds=(0, hi), count=vx.ldata.info.count,
+                       stype=SInt64(), trailing_zeros=0,
+                       dtype=DString(("%derived%",) + vx.lcol))
 
     if isinstance(vx, RangeV):
         cnt = vx.rref.info.count
@@ -437,6 +508,8 @@ def infer_uniqueness(vx: Vx) -> str:
         return UNIQUE
     if isinstance(vx, Fold) and vx.foldop == FSEL:
         return UNIQUE
+    if isinstance(vx, JoinIndex) and vx.jside in (JSEMI, JANTI):
+        return UNIQUE
     return ANY
 
 
@@ -559,9 +632,12 @@ def if_then_else(cond: Vexp, a: Vexp, b: Vexp) -> Vexp:
 # --------------------------------------------------------------- environments
 class Env:
     """Operator output: the column list plus a suffix-resolving scope
-    (Vlite.hs:532-548)."""
+    (Vlite.hs:532-548).  Carries the catalog so scalar lowering can reach
+    column dictionaries (LIKE / substring)."""
 
-    def __init__(self, cols: List[Vexp], weak: bool = False):
+    def __init__(self, cols: List[Vexp], weak: bool = False,
+                 cfg: "Config" = None):
+        self.cfg = cfg
         self.cols = cols
         self.table: NameTable = NameTable()
         for v in cols:
@@ -599,6 +675,18 @@ def load_as(cfg: Config, tablename: Name, colname: Name,
                           name=outname)
     if len(colname) != 2:
         raise VirError(f"unexpected column name {name_str(colname)}")
+    # canonicalize constraint pseudo-columns:
+    #  * '%<fkconstraint>'  -> the stored join-index column
+    #  * '[%]<pkconstraint>' -> a virtual row id, equivalent to %TID%
+    #    (MonetDB's pkey oid column is the row TID), so that
+    #    fk-index = pkey-oid conditions classify through the %TID% machinery
+    stripped = (colname[0],
+                colname[1][1:] if colname[1].startswith("%") else colname[1])
+    if cfg.table_pkeys.get(tablename) == stripped:
+        tid = (colname[0], "%TID%")
+        return mask.with_(lineage=Lineage(col=tid, mask=mask), name=outname)
+    if colname[1].startswith("%") and cfg.colinfo.lookup_opt(stripped):
+        colname = stripped
     _, clinfo = cfg.colinfo.lookup(colname)
     clquant = UNIQUE if cfg.is_pkey((colname,)) is not None else ANY
     vx = Load(colname)
@@ -625,7 +713,7 @@ def solve(cfg: Config, r: M.RelExpr) -> Env:
     cols = solve_prime(cfg, r)
     sizes = {c.info.count for c in cols}
     assert len(sizes) == 1, f"column size bounds disagree: {sizes}"
-    return Env(cols)
+    return Env(cols, cfg=cfg)
 
 
 def solve_prime(cfg: Config, r: M.RelExpr) -> List[Vexp]:
@@ -674,7 +762,7 @@ def _solve_project(cfg: Config, r: M.RProject) -> List[Vexp]:
     base = solve(cfg, r.child).cols
     acc: List[Vexp] = []
     for expr, outname in r.projectout:
-        env = Env(base + acc, weak=True)
+        env = Env(base + acc, weak=True, cfg=cfg)
         anon = sc(env, expr)
         acc.append(anon.with_(name=outname))
     return acc
@@ -711,7 +799,23 @@ def sc(env: Env, e: M.ScalarExpr) -> Vexp:
 
     if isinstance(e, M.MIn):
         left = sc(env, e.left)
-        eqs = [eq_(sc(env, x), left) for x in e.set]
+
+        def unlit(x):
+            while isinstance(x, M.MCast):
+                x = x.arg
+            return x if isinstance(x, M.MLiteral) else None
+
+        lits = [unlit(x) for x in e.set]
+        if isinstance(left.vx, DictMap) and all(
+                x is not None and x.raw is not None for x in lits):
+            # membership against a derived (e.g. substring) dictionary:
+            # re-resolve the raw strings in the derived code space
+            codes = {st: c for c, st in left.vx.derived}
+            eqs = [eq_(typedconst_(codes.get(x.raw, -1), left,
+                                   left.info.dtype), left)
+                   for x in lits]
+        else:
+            eqs = [eq_(sc(env, x), left) for x in e.set]
         acc = eqs[0]
         for x in eqs[1:]:
             acc = or_(acc, x)
@@ -745,6 +849,24 @@ def sc(env: Env, e: M.ScalarExpr) -> Vexp:
         if v.lineage is None:
             raise VirError("LIKE requires lineage to locate the dictionary")
         return complete(Like(ldata=v, lpattern=e.pattern, lcol=v.lineage.col))
+
+    if isinstance(e, M.MSubstring):
+        v = sc(env, e.arg)
+        if v.lineage is None:
+            raise VirError("substring requires lineage to find the dictionary")
+        lcol = v.lineage.col
+        if env.cfg is None or lcol not in env.cfg.col_dictionary:
+            raise VirError(f"no dictionary for column {name_str(lcol)}")
+        dic = env.cfg.col_dictionary[lcol]  # string -> code
+        lo, n = e.start - 1, e.length
+        outs = sorted({st[lo:lo + n] for st in dic})
+        newcode = {st: i for i, st in enumerate(outs)}
+        mapping = tuple(sorted((code, newcode[st[lo:lo + n]])
+                               for st, code in dic.items()))
+        derived = tuple((i, st) for st, i in sorted(newcode.items(),
+                                                    key=lambda kv: kv[1]))
+        return complete(DictMap(ldata=v, lcol=lcol, mapping=mapping,
+                                derived=derived))
 
     if isinstance(e, M.MUnary) and e.unop == M.NEG:
         v = sc(env, e.arg)
@@ -841,8 +963,8 @@ def _solve_groupby(cfg: Config, r: M.RGroupBy) -> List[Vexp]:
 
     acc: List[Vexp] = []
     for agg, alias in r.outputaggs:
-        env = Env(list1 + acc, weak=True)
-        after_env = Env(acc, weak=True)
+        env = Env(list1 + acc, weak=True, cfg=cfg)
+        after_env = Env(acc, weak=True, cfg=cfg)
         anon = solve_agg(cfg, env, after_env, gkey, agg)
         # output naming (Vlite.hs:645-648)
         outalias = alias
@@ -1116,19 +1238,27 @@ def handle_gather_join(cfg: Config, fact_env: Env, dim_env: Env,
 
 
 def _solve_join(cfg: Config, r: M.RJoin) -> List[Vexp]:
-    """Vlite.hs:682-719."""
+    """Vlite.hs:682-719, plus the general-equijoin fallback the reference
+    lacks (SURVEY.md §7.4): whenever the FK-gather strategy does not apply
+    (no FK constraint, dim side not unique, self-join on a non-key column),
+    the join lowers to JoinIndex ops backed by the engine's sort-merge /
+    hash kernels."""
     sleft = solve(cfg, r.leftch)
     sright = solve(cfg, r.rightch)
     specs, leftover = separate_fk_joinable(cfg, list(r.conds), sleft, sright)
 
     if len(specs) == 1 and not leftover:
         spec = specs[0]
-        if isinstance(spec, FKJoinSpec):
-            if spec.joinorder == FACT_DIM:
-                return handle_gather_join(cfg, sleft, sright, r.joinvariant,
+        try:
+            if isinstance(spec, FKJoinSpec):
+                if spec.joinorder == FACT_DIM:
+                    return handle_gather_join(cfg, sleft, sright,
+                                              r.joinvariant, spec)
+                return handle_gather_join(cfg, sright, sleft, r.joinvariant,
                                           spec)
-            return handle_gather_join(cfg, sright, sleft, r.joinvariant, spec)
-        return handle_gather_join(cfg, sleft, sright, r.joinvariant, spec)
+            return handle_gather_join(cfg, sleft, sright, r.joinvariant, spec)
+        except VirError:
+            return _solve_equi_join(cfg, r, sleft, sright)
 
     if not specs and len(leftover) == 1 and isinstance(leftover[0], M.MBinop):
         cond = leftover[0]
@@ -1148,16 +1278,182 @@ def _solve_join(cfg: Config, r: M.RJoin) -> List[Vexp]:
                                fdata=boolean))
             return gather_all(sleft.cols, gm)
 
-    if len(specs) == 1 and len(leftover) == 1:
+    if (len(specs) == 1 and len(leftover) == 1
+            and r.joinvariant == M.PLAIN):
         # re-solve as Select(Join) without the leftover condition
         # (Vlite.hs:714-718)
-        if r.joinvariant != M.PLAIN:
-            raise VirError("leftover-condition rewrite only for plain joins")
         remaining = tuple(c for c in r.conds if c != leftover[0])
         inner = M.RJoin(leftch=r.leftch, rightch=r.rightch, conds=remaining,
                         joinvariant=r.joinvariant)
         return solve_prime(cfg, M.RSelect(child=inner,
                                           predicate=leftover[0]))
 
-    raise VirError(
-        f"unhandled join case: {len(specs)} specs, {len(leftover)} leftover")
+    return _solve_equi_join(cfg, r, sleft, sright)
+
+
+def _compose_join_keys(pairs: List[Tuple[Vexp, Vexp]]) -> Tuple[Vexp, Vexp]:
+    """Pack the per-condition key columns of both sides into one integer
+    each, using a *shared* offset/width per condition so equality is
+    preserved across sides."""
+    def norm(v: Vexp, lo: int, hi: int) -> Vexp:
+        # shift values into [0, hi-lo]; no trailing-zero tricks here since
+        # both sides must use identical transforms
+        return sub_(v, const_(lo, v)) if lo != 0 else v
+
+    lk = rk = None
+    for lv, rv in pairs:
+        lo = min(lv.info.bounds[0], rv.info.bounds[0])
+        hi = max(lv.info.bounds[1], rv.info.bounds[1])
+        width = _bitsize(hi - lo)
+        ln, rn = norm(lv, lo, hi), norm(rv, lo, hi)
+        if lk is None:
+            lk, rk = ln, rn
+        else:
+            assert get_bit_width(lk) + width < 64, "join key overflow"
+            w = const_(width, lk)
+            lk = bitor_(shl_(lk, w), ln)
+            rk = bitor_(shl_(rk, const_(width, rk)), rn)
+    return lk, rk
+
+
+def _expr_refs(e: M.ScalarExpr) -> List[Name]:
+    out: List[Name] = []
+
+    def go(x):
+        if isinstance(x, M.MRef):
+            out.append(x.name)
+        else:
+            for f in dataclasses.fields(x):
+                v = getattr(x, f.name)
+                if isinstance(v, tuple):
+                    for y in v:
+                        if dataclasses.is_dataclass(y):
+                            go(y)
+                elif dataclasses.is_dataclass(v):
+                    go(v)
+
+    go(e)
+    return out
+
+
+def _solve_equi_join(cfg: Config, r: M.RJoin, sleft: Env,
+                     sright: Env) -> List[Vexp]:
+    """General equijoin via JoinIndex (new capability vs the reference)."""
+    conds = list(r.conds)
+    if r.joinvariant == M.LEFTOUTER:
+        # ON-clause conditions that touch only the right side filter the
+        # right input before the outer join (Q13's NOT LIKE on o_comment)
+        pushable, rest = [], []
+        for c in conds:
+            refs = _expr_refs(c)
+            if refs and all(sright.table.lookup_opt(n) is not None
+                            and sleft.table.lookup_opt(n) is None
+                            for n in refs):
+                pushable.append(c)
+            else:
+                rest.append(c)
+        if pushable:
+            pred = pushable[0]
+            for c in pushable[1:]:
+                pred = M.MBinop(M.LOGAND, pred, c)
+            fdata = sc(sright, pred)
+            idx = complete(Fold(foldop=FSEL, fgroups=pos_(fdata),
+                                fdata=fdata))
+            sright = Env(gather_all(sright.cols, idx), weak=True, cfg=cfg)
+            conds = rest
+
+    eq_pairs: List[Tuple[Vexp, Vexp]] = []
+    others: List[M.ScalarExpr] = []
+    for cond in conds:
+        pair = None
+        if (isinstance(cond, M.MBinop) and cond.binop == M.EQ
+                and isinstance(cond.left, M.MRef)
+                and isinstance(cond.right, M.MRef)):
+            a = sleft.table.lookup_opt(cond.left.name)
+            b = sright.table.lookup_opt(cond.right.name)
+            if a is not None and b is not None:
+                pair = (a[1], b[1])
+            else:
+                a = sleft.table.lookup_opt(cond.right.name)
+                b = sright.table.lookup_opt(cond.left.name)
+                if a is not None and b is not None:
+                    pair = (a[1], b[1])
+        if pair is not None:
+            eq_pairs.append(pair)
+        else:
+            others.append(cond)
+    if not eq_pairs:
+        raise VirError(
+            f"join without any equality condition: {r.conds}")
+    lkey, rkey = _compose_join_keys(eq_pairs)
+
+    def joined_env(li: Vexp, ri: Vexp) -> List[Vexp]:
+        return gather_all(sleft.cols, li) + gather_all(sright.cols, ri)
+
+    if r.joinvariant == M.PLAIN:
+        li = complete(JoinIndex(lkeys=lkey, rkeys=rkey, jside=JLEFT))
+        ri = complete(JoinIndex(lkeys=lkey, rkeys=rkey, jside=JRIGHT))
+        cols = joined_env(li, ri)
+    elif r.joinvariant in (M.LEFTSEMI, M.LEFTANTI):
+        if others:
+            # existence semantics with extra conditions: a left row is kept
+            # iff some (semi) / no (anti) matching pair satisfies them all;
+            # handled below via pair marking
+            cols = None
+        else:
+            side = JSEMI if r.joinvariant == M.LEFTSEMI else JANTI
+            sel = complete(JoinIndex(lkeys=lkey, rkeys=rkey, jside=side))
+            return gather_all(sleft.cols, sel)
+    elif r.joinvariant == M.LEFTOUTER:
+        li = complete(JoinIndex(lkeys=lkey, rkeys=rkey, jside=JOUTER_LEFT))
+        ri = complete(JoinIndex(lkeys=lkey, rkeys=rkey, jside=JOUTER_RIGHT))
+        valid = complete(JoinIndex(lkeys=lkey, rkeys=rkey,
+                                   jside=JOUTER_VALID))
+        lcols = gather_all(sleft.cols, li)
+        # unmatched rows read right columns as 0 (null tracking is future
+        # work, matching the reference's caveat, src/notes.txt:60-63)
+        rcols = [mul_(g, valid).with_(name=g.name)
+                 for g in gather_all(sright.cols, ri)]
+        if others:
+            raise VirError("left outer join with non-equality conditions")
+        return lcols + rcols
+    else:
+        raise VirError(f"equijoin variant {r.joinvariant}")
+
+    if cols is not None and others:
+        env = Env(cols, weak=True, cfg=cfg)
+        pred = others[0]
+        for o in others[1:]:
+            pred = M.MBinop(M.LOGAND, pred, o)
+        fdata = sc(env, pred)
+        idx = complete(Fold(foldop=FSEL, fgroups=pos_(fdata), fdata=fdata))
+        cols = [gather(c, idx).with_(name=c.name) for c in cols]
+        return cols
+    if cols is not None:
+        return cols
+
+    # semi/anti with extra conditions: compute qualified pairs, scatter a
+    # "hit" mark back to left rows, keep marked (semi) / unmarked (anti).
+    li = complete(JoinIndex(lkeys=lkey, rkeys=rkey, jside=JLEFT))
+    ri = complete(JoinIndex(lkeys=lkey, rkeys=rkey, jside=JRIGHT))
+    pcols = joined_env(li, ri)
+    env = Env(pcols, weak=True, cfg=cfg)
+    pred = others[0]
+    for o in others[1:]:
+        pred = M.MBinop(M.LOGAND, pred, o)
+    okpair = sc(env, pred)
+    qualified = complete(Fold(foldop=FSEL, fgroups=pos_(okpair),
+                              fdata=okpair))
+    hit_left = gather(li, qualified)
+    refv = sleft.cols[0]
+    marks = scatter(ones_(hit_left), hit_left, shape=refv)
+    if r.joinvariant == M.LEFTSEMI:
+        keep = marks
+    else:
+        # anti: unmarked VALID rows only — scatter a validity mark per live
+        # left row so padding slots cannot pass the 1-marks test
+        rowpos = pos_(refv)
+        validrows = scatter(ones_(rowpos), rowpos, shape=refv)
+        keep = mul_(sub_(ones_(marks), marks), validrows)
+    sel = complete(Fold(foldop=FSEL, fgroups=pos_(keep), fdata=keep))
+    return gather_all(sleft.cols, sel)
