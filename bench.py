@@ -1,0 +1,96 @@
+"""Benchmark driver: TPC-H Q6 on the real TPU, measured against the HBM
+bandwidth roofline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no in-repo numbers (BASELINE.md), so the
+comparison point is the physically meaningful one: the fraction of the
+chip's HBM-bandwidth roofline the scan-filter-aggregate achieves
+(BASELINE.json north star: >=80%).
+
+Env knobs: BENCH_SF (default 1.0), BENCH_ITERS (default 20),
+BENCH_QUERY (default 06).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+import jax
+import numpy as np
+
+# per-chip HBM bandwidth (bytes/s) for the roofline; v5e ~819 GB/s
+HBM_BW = {"TPU v5 lite": 819e9, "TPU v5": 2765e9, "TPU v4": 1228e9,
+          "TPU v6 lite": 1640e9}
+
+
+def device_bw() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, bw in HBM_BW.items():
+        if kind.startswith(k):
+            return bw
+    return 819e9
+
+
+def main():
+    sf = float(os.environ.get("BENCH_SF", "1.0"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    qname = os.environ.get("BENCH_QUERY", "06")
+
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.engine.lower import compile_plan_text, dtype_for
+
+    t0 = time.time()
+    store = datagen.generate(sf=sf, seed=1)
+    cfg = store.make_catalog()
+    gen_s = time.time() - t0
+
+    with open(f"/root/reference/tests/tpch10noorder/{qname}.sql.mplan") as f:
+        text = f.read()
+    t0 = time.time()
+    cq = compile_plan_text(text, cfg, store)
+    args = cq.device_args()  # device-resident columns
+    out = cq._jitted(args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = cq._jitted(args)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    t = float(np.median(times))
+
+    n_rows = store.table_count(("lineitem",))
+    rows_per_s = n_rows / t
+
+    # bytes actually read per row for this query's scanned columns
+    touched = [a for a in args]
+    bytes_scanned = sum(int(np.asarray(a).dtype.itemsize) * len(a)
+                        for a in touched)
+    sol_t = bytes_scanned / device_bw()
+    frac_roofline = sol_t / t
+
+    result = {
+        "metric": f"tpch_q{qname}_sf{sf:g}_rows_per_sec",
+        "value": round(rows_per_s, 1),
+        "unit": "rows/s/chip",
+        "vs_baseline": round(frac_roofline, 4),
+    }
+    print(json.dumps(result))
+    print(f"# device={jax.devices()[0].device_kind} rows={n_rows} "
+          f"t={t*1e3:.3f}ms scanned={bytes_scanned/1e6:.1f}MB "
+          f"gen={gen_s:.1f}s compile={compile_s:.1f}s "
+          f"roofline_frac={frac_roofline:.3f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

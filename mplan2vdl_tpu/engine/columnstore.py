@@ -43,17 +43,23 @@ class ColumnStore:
         return len(self.columns[first])
 
     def add(self, tab: str, col: str, data: np.ndarray) -> None:
-        self.columns[(tab, col)] = np.ascontiguousarray(data)
+        self.columns[(tab, col)] = _narrow(np.ascontiguousarray(data))
 
     def add_strings(self, tab: str, col: str, values: "np.ndarray") -> None:
         """Dictionary-encode a string column; codes are assigned in sorted
         string order (any order is legal: plans compare codes only for
         equality / LIKE membership)."""
-        uniq = sorted(set(values.tolist()))
-        code_of = {s: i for i, s in enumerate(uniq)}
-        codes = np.array([code_of[v] for v in values.tolist()], dtype=np.int64)
-        self.columns[(tab, col)] = codes
-        self.decoders[(tab, col)] = {i: s for s, i in code_of.items()}
+        uniq, codes = np.unique(np.asarray(values, dtype=object), return_inverse=True)
+        self.columns[(tab, col)] = _narrow(codes.astype(np.int64))
+        self.decoders[(tab, col)] = {i: s for i, s in enumerate(uniq.tolist())}
+
+    def add_categorical(self, tab: str, col: str, codes: np.ndarray,
+                        decoder: Dict[int, str]) -> None:
+        """A string column given directly as dictionary codes + decoder
+        (avoids materializing per-row Python strings at large scale)."""
+        self.columns[(tab, col)] = _narrow(
+            np.ascontiguousarray(codes, dtype=np.int64))
+        self.decoders[(tab, col)] = dict(decoder)
 
     def build_fk_indexes(self) -> None:
         """Materialize the per-FK join-index columns (fact row -> dim row)."""
@@ -80,7 +86,7 @@ class ColumnStore:
                 assert np.array_equal(srt[pos], fkey), \
                     f"dangling fk {t.name}->{fk.references}"
                 idx = order[pos].astype(np.int64)
-                self.columns[concat_name(t.name, fk.constraint)] = idx
+                self.columns[concat_name(t.name, fk.constraint)] = _narrow(idx)
 
     # ---------------------------------------------------------------- catalog
     def make_catalog(self, **flags) -> Config:
@@ -125,6 +131,17 @@ class ColumnStore:
             for code, s in dec.items():
                 dictrows.append((tab, col, s, code))
         return make_config(bounds, storage, self.tables, dictrows, **flags)
+
+
+def _narrow(data: np.ndarray) -> np.ndarray:
+    """Store integer columns at the narrowest standard width their values
+    allow — the catalog's exact bounds make int32 storage safe, halving HBM
+    traffic for most TPC-H columns."""
+    if data.dtype == np.int64 and len(data):
+        lo, hi = int(data.min()), int(data.max())
+        if -(2**31) <= lo and hi < 2**31:
+            return data.astype(np.int32)
+    return data
 
 
 def _trailing_zeros(data: np.ndarray) -> int:

@@ -88,10 +88,11 @@ DATE_LO = _day(1992, 1, 1)
 DATE_HI = _day(1998, 8, 2)
 
 
-def _comments(rng, n: int, vocab_size: int, special: str = None,
-              special_rate: float = 0.0) -> List[str]:
-    """A bounded-vocabulary comment column: ``vocab_size`` distinct strings
-    assigned randomly, optionally splicing a '<a> ... <b>' special pattern."""
+def _comment_codes(rng, n: int, vocab_size: int, special: str = None,
+                   special_rate: float = 0.0):
+    """A bounded-vocabulary comment column as (codes, decoder): vocab_size
+    distinct strings assigned randomly, optionally splicing a '<a> ... <b>'
+    special pattern.  No per-row Python strings — scales to SF100."""
     vocab = []
     for i in range(vocab_size):
         w = rng.choice(COMMENT_WORDS, size=4)
@@ -100,8 +101,27 @@ def _comments(rng, n: int, vocab_size: int, special: str = None,
             a, b = special.split(" ", 1)
             s = f"{w[0]} {a} {w[1]} {b} {w[2]}"
         vocab.append(f"{s} {i}")
-    idx = rng.integers(0, vocab_size, size=n)
-    return [vocab[i] for i in idx]
+    codes = rng.integers(0, vocab_size, size=n)
+    return codes, dict(enumerate(vocab))
+
+
+def _id_codes(prefix: str, n: int, vocab: int = 1024):
+    """Opaque per-row strings (names/addresses) as a bounded dictionary; no
+    query applies LIKE to these, so a modest vocabulary is sufficient."""
+    return None, {i: f"{prefix}{i:09d}" for i in range(vocab)}
+
+
+def _phone_codes(rng, nat: np.ndarray, nsuffix: int = 997):
+    """Phones '<cc>-<suffix>' with cc = 10 + a random nation; codes combine
+    cc and a suffix id so Q22's substring-prefix classes stay meaningful."""
+    cc = 10 + rng.integers(0, 25, size=len(nat))
+    suf = rng.integers(0, nsuffix, size=len(nat))
+    codes = cc * nsuffix + suf
+    dec = {}
+    for code in np.unique(codes):
+        c, sfx = divmod(int(code), nsuffix)
+        dec[int(code)] = f"{c}-{100 + sfx % 900}-{200 + sfx % 800}-{1000 + sfx}"
+    return codes, dec
 
 
 # ------------------------------------------------------------------ the schema
@@ -203,48 +223,47 @@ def generate(sf: float, seed: int = 0) -> ColumnStore:
     # ---- part
     pk = np.arange(1, n_part + 1)
     store.add("part", "p_partkey", pk)
-    c5 = rng.integers(0, len(COLORS), size=(n_part, 5))
-    store.add_strings("part", "p_name", np.array(
-        [" ".join(COLORS[j] for j in row) for row in c5]))
+    name_vocab = min(max(n_part // 8, 200), 20000)
+    c5 = rng.integers(0, len(COLORS), size=(name_vocab, 5))
+    pn_dec = {i: " ".join(COLORS[j] for j in row) for i, row in enumerate(c5)}
+    store.add_categorical("part", "p_name",
+                          rng.integers(0, name_vocab, size=n_part), pn_dec)
     mfgr = rng.integers(1, 6, size=n_part)
-    store.add_strings("part", "p_mfgr",
-                      np.array([f"Manufacturer#{m}" for m in mfgr]))
+    store.add_categorical("part", "p_mfgr", mfgr - 1,
+                          {i: f"Manufacturer#{i+1}" for i in range(5)})
     brand = mfgr * 10 + rng.integers(1, 6, size=n_part)
-    store.add_strings("part", "p_brand",
-                      np.array([f"Brand#{b}" for b in brand]))
-    t1 = rng.integers(0, 6, size=n_part)
-    t2 = rng.integers(0, 5, size=n_part)
-    t3 = rng.integers(0, 5, size=n_part)
-    store.add_strings("part", "p_type", np.array(
-        [f"{TYPE_S1[a]} {TYPE_S2[b]} {TYPE_S3[c]}"
-         for a, b, c in zip(t1, t2, t3)]))
+    store.add_categorical("part", "p_brand", brand,
+                          {b: f"Brand#{b}" for b in range(11, 56)})
+    tcode = rng.integers(0, 150, size=n_part)
+    tdec = {a * 25 + b * 5 + c: f"{TYPE_S1[a]} {TYPE_S2[b]} {TYPE_S3[c]}"
+            for a in range(6) for b in range(5) for c in range(5)}
+    store.add_categorical("part", "p_type", tcode, tdec)
     store.add("part", "p_size", rng.integers(1, 51, size=n_part))
-    store.add_strings("part", "p_container", np.array(
-        [f"{CONT_S1[a]} {CONT_S2[b]}"
-         for a, b in zip(rng.integers(0, 5, size=n_part),
-                         rng.integers(0, 8, size=n_part))]))
+    store.add_categorical("part", "p_container",
+                          rng.integers(0, 40, size=n_part),
+                          {a * 8 + b: f"{CONT_S1[a]} {CONT_S2[b]}"
+                           for a in range(5) for b in range(8)})
     retail = 90000 + (pk % 20001) + 100 * (pk % 1000) % 110000
     store.add("part", "p_retailprice", retail)
-    store.add_strings("part", "p_comment",
-                      np.array(_comments(rng, n_part, 200)))
+    cc, cd = _comment_codes(rng, n_part, 200)
+    store.add_categorical("part", "p_comment", cc, cd)
 
     # ---- supplier
     sk = np.arange(1, n_supp + 1)
     store.add("supplier", "s_suppkey", sk)
-    store.add_strings("supplier", "s_name",
-                      np.array([f"Supplier#{i:09d}" for i in sk]))
-    store.add_strings("supplier", "s_address",
-                      np.array([f"supp addr {i}" for i in sk]))
+    _, sdec = _id_codes("Supplier#", n_supp)
+    store.add_categorical("supplier", "s_name", sk % 1024, sdec)
+    store.add_categorical("supplier", "s_address", (sk * 7) % 1024,
+                          {i: f"supp addr {i}" for i in range(1024)})
     s_nat = rng.integers(0, 25, size=n_supp)
     store.add("supplier", "s_nationkey", s_nat)
-    store.add_strings("supplier", "s_phone", np.array(
-        [f"{10+n}-{rng.integers(100,1000)}-{rng.integers(100,1000)}-"
-         f"{rng.integers(1000,10000)}" for n in s_nat]))
+    pc, pd = _phone_codes(rng, s_nat)
+    store.add_categorical("supplier", "s_phone", pc, pd)
     store.add("supplier", "s_acctbal",
               rng.integers(-99999, 1000000, size=n_supp))
-    store.add_strings("supplier", "s_comment", np.array(
-        _comments(rng, n_supp, max(200, n_supp // 10),
-                  special="Customer Complaints", special_rate=0.02)))
+    cc, cd = _comment_codes(rng, n_supp, max(200, n_supp // 10),
+                            special="Customer Complaints", special_rate=0.02)
+    store.add_categorical("supplier", "s_comment", cc, cd)
 
     # ---- partsupp: 4 suppliers per part
     step = max(n_supp // 4, 1)
@@ -258,27 +277,27 @@ def generate(sf: float, seed: int = 0) -> ColumnStore:
               rng.integers(1, 10000, size=n_part * 4))
     store.add("partsupp", "ps_supplycost",
               rng.integers(100, 100001, size=n_part * 4))
-    store.add_strings("partsupp", "ps_comment",
-                      np.array(_comments(rng, n_part * 4, 200)))
+    cc, cd = _comment_codes(rng, n_part * 4, 200)
+    store.add_categorical("partsupp", "ps_comment", cc, cd)
 
     # ---- customer
     ck = np.arange(1, n_cust + 1)
     store.add("customer", "c_custkey", ck)
-    store.add_strings("customer", "c_name",
-                      np.array([f"Customer#{i:09d}" for i in ck]))
-    store.add_strings("customer", "c_address",
-                      np.array([f"cust addr {i}" for i in ck]))
+    _, cdec = _id_codes("Customer#", n_cust)
+    store.add_categorical("customer", "c_name", ck % 1024, cdec)
+    store.add_categorical("customer", "c_address", (ck * 13) % 1024,
+                          {i: f"cust addr {i}" for i in range(1024)})
     c_nat = rng.integers(0, 25, size=n_cust)
     store.add("customer", "c_nationkey", c_nat)
-    store.add_strings("customer", "c_phone", np.array(
-        [f"{10+n}-{rng.integers(100,1000)}-{rng.integers(100,1000)}-"
-         f"{rng.integers(1000,10000)}" for n in c_nat]))
+    pc, pd = _phone_codes(rng, c_nat)
+    store.add_categorical("customer", "c_phone", pc, pd)
     store.add("customer", "c_acctbal",
               rng.integers(-99999, 1000000, size=n_cust))
-    store.add_strings("customer", "c_mktsegment",
-                      np.array(MKTSEGMENTS)[rng.integers(0, 5, size=n_cust)])
-    store.add_strings("customer", "c_comment",
-                      np.array(_comments(rng, n_cust, 500)))
+    store.add_categorical("customer", "c_mktsegment",
+                          rng.integers(0, 5, size=n_cust),
+                          dict(enumerate(MKTSEGMENTS)))
+    cc, cd = _comment_codes(rng, n_cust, 500)
+    store.add_categorical("customer", "c_comment", cc, cd)
 
     # ---- orders
     ok = np.arange(1, n_ord + 1)
@@ -292,14 +311,15 @@ def generate(sf: float, seed: int = 0) -> ColumnStore:
     odate = rng.integers(DATE_LO, DATE_HI - 151, size=n_ord)
     store.add("orders", "o_orderdate", odate)
     store.add("orders", "o_shippriority", np.zeros(n_ord, dtype=np.int64))
-    store.add_strings("orders", "o_orderpriority",
-                      np.array(ORDERPRIORITY)[rng.integers(0, 5, size=n_ord)])
-    store.add_strings("orders", "o_clerk", np.array(
-        [f"Clerk#{i:09d}" for i in rng.integers(1, max(n_ord // 1000, 2),
-                                                size=n_ord)]))
-    store.add_strings("orders", "o_comment", np.array(
-        _comments(rng, n_ord, 2000, special="special requests",
-                  special_rate=0.05)))
+    store.add_categorical("orders", "o_orderpriority",
+                          rng.integers(0, 5, size=n_ord),
+                          dict(enumerate(ORDERPRIORITY)))
+    store.add_categorical("orders", "o_clerk",
+                          rng.integers(0, 1024, size=n_ord),
+                          {i: f"Clerk#{i:09d}" for i in range(1024)})
+    cc, cd = _comment_codes(rng, n_ord, 2000, special="special requests",
+                            special_rate=0.05)
+    store.add_categorical("orders", "o_comment", cc, cd)
 
     # ---- lineitem: 1-7 lines per order
     nlines = rng.integers(1, 8, size=n_ord)
@@ -334,16 +354,19 @@ def generate(sf: float, seed: int = 0) -> ColumnStore:
     rf = np.where(receipt <= cutoff,
                   rng.integers(0, 2, size=n_li),  # 0=R 1=A
                   2)  # N
-    store.add_strings("lineitem", "l_returnflag",
-                      np.array(["R", "A", "N"])[rf])
-    store.add_strings("lineitem", "l_linestatus",
-                      np.where(ship > cutoff, "O", "F"))
-    store.add_strings("lineitem", "l_shipinstruct",
-                      np.array(SHIPINSTRUCT)[rng.integers(0, 4, size=n_li)])
-    store.add_strings("lineitem", "l_shipmode",
-                      np.array(SHIPMODES)[rng.integers(0, len(SHIPMODES), size=n_li)])
-    store.add_strings("lineitem", "l_comment",
-                      np.array(_comments(rng, n_li, 1000)))
+    store.add_categorical("lineitem", "l_returnflag", rf,
+                          {0: "R", 1: "A", 2: "N"})
+    store.add_categorical("lineitem", "l_linestatus",
+                          (ship > cutoff).astype(np.int64),
+                          {0: "F", 1: "O"})
+    store.add_categorical("lineitem", "l_shipinstruct",
+                          rng.integers(0, 4, size=n_li),
+                          dict(enumerate(SHIPINSTRUCT)))
+    store.add_categorical("lineitem", "l_shipmode",
+                          rng.integers(0, len(SHIPMODES), size=n_li),
+                          dict(enumerate(SHIPMODES)))
+    cc, cd = _comment_codes(rng, n_li, 1000)
+    store.add_categorical("lineitem", "l_comment", cc, cd)
 
     # o_totalprice: consistent with lineitems (sum extprice*(1+tax)*(1-disc))
     disc = store.columns[("lineitem", "l_discount")]
@@ -352,8 +375,9 @@ def generate(sf: float, seed: int = 0) -> ColumnStore:
     totals = np.zeros(n_ord + 1, dtype=np.int64)
     np.add.at(totals, l_ok, net)
     store.add("orders", "o_totalprice", totals[1:])
-    store.add_strings("orders", "o_orderstatus",
-                      np.where(rng.random(n_ord) < 0.5, "F", "O"))
+    store.add_categorical("orders", "o_orderstatus",
+                          (rng.random(n_ord) < 0.5).astype(np.int64),
+                          {0: "O", 1: "F"})
 
     store.build_fk_indexes()
     return store
