@@ -1,0 +1,178 @@
+"""Command-line driver mirroring the reference UX (MainFuns.hs:34-75;
+SURVEY.md Appendix A), extended with execution subcommands.
+
+Compile a plan to VDL text (the reference's only mode)::
+
+    python -m mplan2vdl_tpu.cli compile QUERY.mplan \
+        -b bounds.csv -t storage.csv -s schema.msqldump --dictionary d.csv \
+        [-p/--push-joins] [-c/--cleanup] [--metadata] \
+        [--aggserial|--agghierarchical -g N|--aggshuffle] \
+        [--sparsity X] [--goffset N] [--use-cross-product] [--dot]
+
+Run a plan on the TPU engine against a generated dataset::
+
+    python -m mplan2vdl_tpu.cli run QUERY.mplan --sf 0.01 [--cpu] [--decode]
+
+Batch-compile a directory (the reference's ``genplans``)::
+
+    python -m mplan2vdl_tpu.cli genplans DIR -b ... -t ... -s ... --dictionary ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+
+def _add_meta_args(p):
+    p.add_argument("-b", "--bounds", required=True)
+    p.add_argument("-t", "--storage", required=True)
+    p.add_argument("-s", "--schema", required=True)
+    p.add_argument("--dictionary", required=True)
+
+
+def _add_flag_args(p):
+    p.add_argument("-p", "--push-joins", action="store_true",
+                   help="apply pushFKJoins/fuseSelects rewrites")
+    p.add_argument("-c", "--cleanup", action="store_true", default=True)
+    p.add_argument("--no-cleanup", dest="cleanup", action="store_false")
+    p.add_argument("--metadata", action="store_true")
+    p.add_argument("--aggserial", action="store_true")
+    p.add_argument("--agghierarchical", action="store_true")
+    p.add_argument("--aggshuffle", action="store_true")
+    p.add_argument("-g", "--grainsize", type=int, default=1)
+    p.add_argument("--sparsity", type=float, default=1.0)
+    p.add_argument("--goffset", type=int, default=0)
+    p.add_argument("--use-cross-product", action="store_true")
+    p.add_argument("--dot", action="store_true",
+                   help="emit a graphviz digraph of the plan tree")
+
+
+def _config_from_args(args):
+    from .catalog import (AGG_HIERARCHICAL, AGG_SERIAL, AGG_SHUFFLE,
+                          load_config)
+
+    strat = AGG_SERIAL
+    if args.agghierarchical:
+        strat = AGG_HIERARCHICAL
+    elif args.aggshuffle:
+        strat = AGG_SHUFFLE
+    g = args.grainsize
+    assert g >= 1 and (g & (g - 1)) == 0, "grainsize must be a power of two"
+    return load_config(
+        args.bounds, args.storage, args.schema, args.dictionary,
+        cross_product=args.use_cross_product,
+        sparsity_threshold=args.sparsity,
+        show_metadata=args.metadata,
+        gboffset=args.goffset,
+        agg_strategy=strat,
+        grainsize_log=g.bit_length() - 1,
+    )
+
+
+def _compile_to_vexps(text, cfg, push_joins, cleanup):
+    from . import mplan, passes, vir
+    from .fe import lexer, plan_parser
+
+    rel = plan_parser.parse(lexer.strip_plan_comments(text))
+    m = mplan.mplan_from_parse_tree(rel, cfg)
+    if push_joins:
+        m = mplan.fuse_selects(mplan.push_fk_joins(m))
+    vexps = vir.vexps_from_mplan(m, cfg)
+    if cleanup:
+        vexps = passes.reference_passes(vexps)
+    return vexps
+
+
+def cmd_compile(args):
+    cfg = _config_from_args(args)
+    text = open(args.plan).read() if args.plan != "-" else sys.stdin.read()
+    if args.dot:
+        from .fe import lexer, plan_parser
+        from .dot import to_dot_string
+
+        rel = plan_parser.parse(lexer.strip_plan_comments(text))
+        print(to_dot_string(rel))
+        return
+    from .vdl_emit import emit_vdl
+
+    vexps = _compile_to_vexps(text, cfg, args.push_joins, args.cleanup)
+    print(emit_vdl(vexps, cfg, show_metadata=args.metadata))
+
+
+def cmd_genplans(args):
+    """Batch compile; reports SUCCESS/TOTAL (reference genplans:12-33)."""
+    cfg = _config_from_args(args)
+    files = sorted(glob.glob(os.path.join(args.dir, "*plan")))
+    ok = 0
+    for f in files:
+        try:
+            vexps = _compile_to_vexps(open(f).read(), cfg, args.push_joins,
+                                      args.cleanup)
+            print(f"{os.path.basename(f)}: OK ({len(vexps)} outputs)")
+            ok += 1
+        except Exception as e:
+            print(f"{os.path.basename(f)}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:120]}")
+    print(f"SUCCESS/TOTAL: {ok}/{len(files)}")
+
+
+def cmd_run(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from .engine import datagen
+    from .engine.lower import compile_plan_text
+
+    store = datagen.generate(sf=args.sf, seed=args.seed)
+    cfg = store.make_catalog(cross_product=args.use_cross_product)
+    text = open(args.plan).read() if args.plan != "-" else sys.stdin.read()
+    cq = compile_plan_text(text, cfg, store)
+    res = cq()
+    if args.decode:
+        cols = res.decoded(store)
+    else:
+        cols = [(str(nm[-1]) if nm else f"col{i}", c)
+                for i, (nm, c) in enumerate(zip(res.names, res.columns))]
+    hdr = [c[0] for c in cols]
+    print(",".join(hdr))
+    n = len(cols[0][1]) if cols else 0
+    for i in range(n):
+        print(",".join(str(c[1][i]) for c in cols))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mplan2vdl_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("compile", help="mplan -> VDL text")
+    pc.add_argument("plan")
+    _add_meta_args(pc)
+    _add_flag_args(pc)
+    pc.set_defaults(fn=cmd_compile)
+
+    pg = sub.add_parser("genplans", help="batch compile a directory")
+    pg.add_argument("dir")
+    _add_meta_args(pg)
+    _add_flag_args(pg)
+    pg.set_defaults(fn=cmd_genplans)
+
+    pr = sub.add_parser("run", help="execute a plan on the engine")
+    pr.add_argument("plan")
+    pr.add_argument("--sf", type=float, default=0.01)
+    pr.add_argument("--seed", type=int, default=7)
+    pr.add_argument("--cpu", action="store_true")
+    pr.add_argument("--decode", action="store_true",
+                    help="decode dictionary codes / dates / decimals")
+    pr.add_argument("--use-cross-product", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,19 +83,14 @@ def test_date_encoding():
 
 QUERIES = [f"{i:02d}" for i in range(1, 23)]
 
-# Queries that cannot lower against the *committed* SF10 metadata snapshot.
-# Each of these also fails in the reference compiler (see SURVEY.md §7.4 and
-# the per-query notes below); they are tracked as capability work, with
-# execution-level coverage coming from the generated datasets whose
-# dictionaries are complete.
-#   02 — 'EUROPE' missing from the committed dictionary.csv
-#   13 — left outer join (+ leftover LIKE cond); unimplemented in reference
-#        (Vlite.hs:1223-1225)
-#   17 — N:M equijoin; reference FK-gather path requires a unique dim side
-#        (Vlite.hs:1280)
-#   21 — self-equijoin on a non-PK column; reference has no general equijoin
-#   22 — substring() over dictionary codes feeding IN
-KNOWN_GAPS_COMMITTED_META = {"02", "13", "17", "21", "22"}
+# Queries that cannot lower against the *committed* SF10 metadata snapshot:
+#   22 — substring() needs the c_phone column dictionary, which the
+#        committed dictionary.csv does not carry (it only pins the 91
+#        strings appearing as query literals).
+# All other 21 queries now compile here; the reference itself manages at
+# most 17 against this snapshot (no general equijoin, no outer join, no
+# substring, and it hard-errors on dictionary misses).
+KNOWN_GAPS_COMMITTED_META = {"22"}
 
 
 @pytest.mark.parametrize("q", QUERIES)
