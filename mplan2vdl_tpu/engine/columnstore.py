@@ -80,13 +80,22 @@ class ColumnStore:
                                                       dim_keys[1]))).bit_length() + 1
                     fkey = (fact_keys[0].astype(np.int64) << shift) | fact_keys[1]
                     dkey = (dim_keys[0].astype(np.int64) << shift) | dim_keys[1]
-                order = np.argsort(dkey, kind="stable")
-                srt = dkey[order]
-                pos = np.searchsorted(srt, fkey)
-                assert np.array_equal(srt[pos], fkey), \
-                    f"dangling fk {t.name}->{fk.references}"
-                idx = order[pos].astype(np.int64)
+                from . import nativeio
+
+                idx = nativeio.fk_index(fkey, dkey)
                 self.columns[concat_name(t.name, fk.constraint)] = _narrow(idx)
+
+    def save(self, directory: str) -> None:
+        """Persist as raw binary columns + manifest (native IO when built)."""
+        from . import nativeio
+
+        nativeio.save_store(self, directory)
+
+    @classmethod
+    def load(cls, directory: str, tables=None) -> "ColumnStore":
+        from . import nativeio
+
+        return nativeio.load_store(directory, tables)
 
     # ---------------------------------------------------------------- catalog
     def make_catalog(self, **flags) -> Config:
@@ -100,12 +109,11 @@ class ColumnStore:
             for cn, ts in t.columns:
                 declared[concat_name(t.name, cn)] = ts
 
+        from . import nativeio
+
         for name, data in self.columns.items():
             tab, col = name
-            n = len(data)
-            mn = int(data.min()) if n else 0
-            mx = int(data.max()) if n else 0
-            tz = _trailing_zeros(data)
+            mn, mx, tz, n = nativeio.column_stats(data)
             bounds.append((tab, col, mn, mx, n, tz))
             ts = declared.get(name)
             if ts is None:
