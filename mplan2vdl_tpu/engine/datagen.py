@@ -139,12 +139,28 @@ def _T(name, cols, pk, fks=()):
     )
 
 
-def tpch_schema() -> List[Table]:
+LEGACY_FK_NAMES = {
+    # the tests/monetpch corpus uses positional constraint names
+    "nation_region": "nation_fk1",
+    "supplier_nation": "supplier_fk1",
+    "partsupp_supplier": "partsupp_fk1",
+    "partsupp_part": "partsupp_fk2",
+    "customer_nation": "customer_fk1",
+    "orders_customer": "orders_fk1",
+    "lineitem_orders": "lineitem_fk1",
+    "lineitem_partsupp": "lineitem_fk2",
+    "lineitem_part": "lineitem_fk3",
+    "lineitem_supplier": "lineitem_fk4",
+}
+
+
+def tpch_schema(legacy_fk_names: bool = False) -> List[Table]:
     """The TPC-H schema with MonetDB's constraint naming (matching the
     committed schema.msqldump so the committed mplans' JOINIDX names
-    resolve)."""
+    resolve).  ``legacy_fk_names`` switches to the positional fkN names
+    the tests/monetpch corpus references."""
     I, D, C, V, DT = "INTEGER", "DECIMAL", "CHAR", "VARCHAR", "DATE"
-    return [
+    tables = [
         _T("region", [("r_regionkey", I, []), ("r_name", C, [25]),
                       ("r_comment", V, [152])], ["r_regionkey"]),
         _T("nation", [("n_nationkey", I, []), ("n_name", C, [25]),
@@ -198,11 +214,23 @@ def tpch_schema() -> List[Table]:
             ("lineitem_supplier", "supplier",
              [("l_suppkey", "s_suppkey")])]),
     ]
+    if legacy_fk_names:
+        import dataclasses
+
+        tables = [
+            dataclasses.replace(t, fkeys=tuple(
+                dataclasses.replace(
+                    fk, constraint=(LEGACY_FK_NAMES[fk.constraint[0]],))
+                for fk in t.fkeys))
+            for t in tables
+        ]
+    return tables
 
 
-def generate(sf: float, seed: int = 0) -> ColumnStore:
+def generate(sf: float, seed: int = 0,
+             legacy_fk_names: bool = False) -> ColumnStore:
     rng = np.random.default_rng(seed)
-    store = ColumnStore(tables=tpch_schema())
+    store = ColumnStore(tables=tpch_schema(legacy_fk_names))
 
     n_part = max(int(200_000 * sf), 20)
     n_supp = max(int(10_000 * sf), 10)

@@ -218,6 +218,25 @@ class Compiler:
             perm = jnp.argsort(s.data, stable=True)
             return Val(data=perm.astype(dt), valid=s.valid, length=s.length)
 
+        if isinstance(vx, V.SortPerm):
+            # composed stable sorts, last key first; invalid rows sink to
+            # the end regardless of direction
+            vals = [self._force(self.eval(k)) for k in vx.keys]
+            n = vals[0].length
+            idx = jnp.arange(n, dtype=jnp.int64)
+            validmask = idx < jnp.asarray(vals[0].valid, jnp.int64)
+            perm = idx
+            BIG = jnp.int64(2**62)
+            for kv, desc in list(zip(vals, vx.descs))[::-1]:
+                kd = kv.data.astype(jnp.int64)
+                if desc:
+                    kd = -kd
+                key = jnp.where(validmask, kd, BIG)[perm]
+                order = jnp.argsort(key, stable=True)
+                perm = perm[order]
+            data = _mask_tail(perm.astype(dt), vals[0].valid, n)
+            return Val(data=data, valid=vals[0].valid, length=n)
+
         if isinstance(vx, V.Like):
             return self._eval_like(v, vx)
 
@@ -402,8 +421,9 @@ class Compiler:
         return Val(data=out, valid=valid, length=L)
 
     # ----------------------------------------------------------------- folds
-    def _group_artifacts(self, fgroups: V.Vexp, L_out: int) -> dict:
-        key = (fgroups.skey, L_out)
+    def _group_artifacts(self, fgroups: V.Vexp, L_out: int,
+                         fmask: Optional[V.Vexp] = None) -> dict:
+        key = (fgroups.skey, fmask.skey if fmask is not None else None, L_out)
         hit = self.group_cache.get(key)
         if hit is not None:
             return hit
@@ -414,6 +434,9 @@ class Compiler:
         n = g.length
         idx = jnp.arange(n, dtype=jnp.int64)
         validmask = idx < jnp.asarray(g.valid, jnp.int64)
+        if fmask is not None:
+            m = self._force(self.eval(fmask))
+            validmask = validmask & (m.data[:n] != 0)
         art: dict = {"n": n, "domain": domain, "validmask": validmask}
         if domain <= DENSE_DOMAIN_LIMIT:
             ids = jnp.clip(g.data.astype(jnp.int64), 0, domain - 1)
@@ -443,7 +466,7 @@ class Compiler:
         domain = vx.fgroups.info.bounds[1] + 1
         dval = self._force(self.eval(vx.fdata))
         L_out = min(domain, g.length, dval.length)
-        art = self._group_artifacts(vx.fgroups, L_out)
+        art = self._group_artifacts(vx.fgroups, L_out, vx.fmask)
         n = art["n"]
         data = dval.data[:n].astype(dt)
         segop = {V.FSUM: jax.ops.segment_sum,
@@ -657,9 +680,14 @@ def _children(vx: V.Vx) -> List[V.Vexp]:
             out.append(vx.shshape)
         return out
     if isinstance(vx, V.Fold):
-        return [vx.fgroups, vx.fdata]
+        out = [vx.fgroups, vx.fdata]
+        if vx.fmask is not None:
+            out.append(vx.fmask)
+        return out
     if isinstance(vx, V.Semisort):
         return [vx.sdata]
+    if isinstance(vx, V.SortPerm):
+        return list(vx.keys)
     if isinstance(vx, V.Partition):
         return [vx.pivots, vx.pdata]
     if isinstance(vx, V.Like):

@@ -498,11 +498,22 @@ def solve(cfg: Config, rel: P.Rel) -> RelExpr:
             raise LowerError("project expects one child")
         out = rel.arg_lists[0]
         rest = rel.arg_lists[1:]
+        order: List[Tuple[Name, str]] = []
         if rest and any(rest):
-            raise LowerError("order-by clauses not supported (matches reference)")
+            # ordered project (the reference parses but cannot lower these,
+            # Mplan.hs:267-269; extension).  ASC is annotated explicitly;
+            # an unannotated order column is descending (Parser.y:169-171).
+            if len(rest) != 1:
+                raise LowerError("multiple order lists")
+            for x in rest[0]:
+                if not isinstance(x.expr, P.Ref):
+                    raise LowerError("non-ref order-by column")
+                asc = any(a.kind == "asc" for a in x.expr.attrs)
+                order.append((x.expr.name, "asc" if asc else "desc"))
         child = solve(cfg, rel.children[0])
         projectout = tuple((rsc(cfg, x.expr), _output_name(x)) for x in out)
-        return RProject(child=child, projectout=projectout)
+        return RProject(child=child, projectout=projectout,
+                        order=tuple(order))
 
     if op == "group by":
         if len(rel.children) != 1 or len(rel.arg_lists) != 2:

@@ -285,7 +285,16 @@ class Interp:
                 val = _tag(np.asarray(val), dt)
                 out.append((nm, val))
                 dts.append((nm, dt))
-            return Frame(out)
+            frame = Frame(out)
+            if r.order:
+                scope = Frame(child.cols + out)
+                keys = []
+                for n, d in reversed(r.order):
+                    k = scope.lookup(n).astype(np.int64)
+                    keys.append(-k if d == "desc" else k)
+                perm = np.lexsort(keys)  # stable, last key primary
+                frame = frame.take(perm)
+            return frame
         if isinstance(r, M.RGroupBy):
             return self._groupby(r)
         if isinstance(r, M.RJoin):

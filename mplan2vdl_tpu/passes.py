@@ -19,8 +19,8 @@ from typing import Callable, Dict, List, Optional
 from . import mplan as M
 from .vir import (Binop, CrossProduct, DictMap, Fold, GATHER, JoinIndex, Like, Load,
                   Partition, RangeC, RangeV, SCATTER, Semisort, Shuffle,
-                  Vexp, VShuffle, Vx, complete, eq_, gt_, if_then_else, lt_,
-                  ones_, sub_)
+                  SortPerm, Vexp, VShuffle, Vx, complete, eq_, gt_,
+                  if_then_else, lt_, ones_, sub_)
 
 Rule = Callable[[Vx], Optional[Vexp]]
 
@@ -97,6 +97,9 @@ def _transform(rule: Rule, v: Vexp, memo: Dict[int, Vexp]) -> Vexp:
             new = vx
         elif isinstance(vx, Semisort):
             new = Semisort(sdata=rec(vx.sdata))
+        elif isinstance(vx, SortPerm):
+            new = SortPerm(keys=tuple(rec(k) for k in vx.keys),
+                           descs=vx.descs)
         elif isinstance(vx, RangeV):
             new = RangeV(rmin=vx.rmin, rstep=vx.rstep, rref=rec(vx.rref))
         elif isinstance(vx, Binop):
@@ -107,7 +110,8 @@ def _transform(rule: Rule, v: Vexp, memo: Dict[int, Vexp]) -> Vexp:
                           shshape=rec(vx.shshape) if vx.shshape else None)
         elif isinstance(vx, Fold):
             new = Fold(foldop=vx.foldop, fgroups=rec(vx.fgroups),
-                       fdata=rec(vx.fdata))
+                       fdata=rec(vx.fdata),
+                       fmask=rec(vx.fmask) if vx.fmask is not None else None)
         elif isinstance(vx, Partition):
             new = Partition(pivots=rec(vx.pivots), pdata=rec(vx.pdata))
         elif isinstance(vx, Like):
@@ -153,10 +157,104 @@ def lowering_pass(vs: List[Vexp]) -> List[Vexp]:
     return xform(lowering, vs)
 
 
+# --------------------------------------------------------------- predication
+def _fsel_pos(v: Vexp) -> bool:
+    return isinstance(v.vx, Fold) and v.vx.foldop == "FSel"
+
+
+def _ungather(v: Vexp, pos_skey: int, pos_src_len_ref: Vexp):
+    """Rewrite an elementwise tree over ``gather(X, sel)`` leaves into the
+    same tree over the unfiltered ``X`` (None when the tree reads anything
+    else).  Constants sized by a gathered vector re-size to the source."""
+    vx = v.vx
+    if isinstance(vx, Shuffle) and vx.shop == GATHER \
+            and vx.shpos.skey == pos_skey:
+        return vx.shsource
+    if isinstance(vx, RangeV):
+        inner = _ungather(vx.rref, pos_skey, pos_src_len_ref)
+        if inner is None:
+            return None
+        return complete(RangeV(rmin=vx.rmin, rstep=vx.rstep, rref=inner))
+    if isinstance(vx, Binop):
+        l = _ungather(vx.left, pos_skey, pos_src_len_ref)
+        r = _ungather(vx.right, pos_skey, pos_src_len_ref)
+        if l is None or r is None:
+            return None
+        return complete(Binop(binop=vx.binop, left=l, right=r))
+    if isinstance(vx, Partition):
+        inner = _ungather(vx.pdata, pos_skey, pos_src_len_ref)
+        if inner is None:
+            return None
+        return complete(Partition(pivots=vx.pivots, pdata=inner))
+    if isinstance(vx, (Like, DictMap)):
+        inner = _ungather(vx.ldata, pos_skey, pos_src_len_ref)
+        if inner is None:
+            return None
+        return complete(type(vx)(**{**{f.name: getattr(vx, f.name)
+                                       for f in __import__("dataclasses").fields(vx)},
+                                    "ldata": inner}))
+    return None
+
+
+def _find_fsel_gather(v: Vexp):
+    """First gather-through-FSel leaf in an elementwise tree."""
+    vx = v.vx
+    if isinstance(vx, Shuffle) and vx.shop == GATHER and _fsel_pos(vx.shpos):
+        return vx.shpos
+    if isinstance(vx, RangeV):
+        return _find_fsel_gather(vx.rref)
+    if isinstance(vx, Binop):
+        return (_find_fsel_gather(vx.left)
+                or _find_fsel_gather(vx.right))
+    if isinstance(vx, Partition):
+        return _find_fsel_gather(vx.pdata)
+    if isinstance(vx, (Like, DictMap)):
+        return _find_fsel_gather(vx.ldata)
+    return None
+
+
+def predication(vx: Vx) -> Optional[Vexp]:
+    """Fold over compact-then-gather chains -> masked fold over the raw
+    columns.  Replaces ``agg(gather(x, FoldSelect(b)))`` with
+    ``agg(x | mask=b)``: no selection vector, no gathers — one predicated
+    scan, the TPU-native filter+aggregate."""
+    if not (isinstance(vx, Fold) and vx.foldop != "FSel"):
+        return None
+    pos = _find_fsel_gather(vx.fdata) or _find_fsel_gather(vx.fgroups)
+    if pos is None:
+        return None
+    b = pos.vx.fdata  # the boolean the FoldSelect compacted
+    d2 = _ungather(vx.fdata, pos.skey, b)
+    g2 = _ungather(vx.fgroups, pos.skey, b)
+    if d2 is None or g2 is None:
+        return None
+    mask = b
+    if vx.fmask is not None:
+        m2 = _ungather(vx.fmask, pos.skey, b)
+        if m2 is None:
+            return None
+        mask = complete(Binop(binop=M.LOGAND, left=m2, right=b))
+    return complete(Fold(foldop=vx.foldop, fgroups=g2, fdata=d2,
+                         fmask=mask))
+
+
+def predication_pass(vs: List[Vexp]) -> List[Vexp]:
+    """Apply predication to a fixpoint (stacked selects peel one gather
+    level per iteration)."""
+    for _ in range(8):
+        new = xform(predication, vs)
+        if [v.skey for v in new] == [v.skey for v in vs]:
+            return new
+        vs = new
+    return vs
+
+
 def engine_passes(vs: List[Vexp]) -> List[Vexp]:
     """Cleanup pipeline for the TPU engine (MainFuns.hs:184-186 minus the
-    Max/Min lowering, which the engine executes natively)."""
-    return algebraic_identities_pass(redundant_range_pass(vs))
+    Max/Min lowering, which the engine executes natively), plus the
+    predication rewrite for filter+aggregate chains."""
+    return predication_pass(algebraic_identities_pass(
+        redundant_range_pass(vs)))
 
 
 def reference_passes(vs: List[Vexp]) -> List[Vexp]:

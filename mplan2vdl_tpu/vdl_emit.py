@@ -159,6 +159,11 @@ class _Emitter:
         if isinstance(vx, V.Semisort):
             s = self.emit(vx.sdata)
             return self.line(("semisort", s), ["Semisort", str(s)])
+        if isinstance(vx, V.SortPerm):  # extension vocabulary
+            ks = [self.emit(k) for k in vx.keys]
+            dirs = "".join("d" if d else "a" for d in vx.descs)
+            return self.line(("sortperm", tuple(ks), vx.descs),
+                             ["SortPerm", dirs] + [str(k) for k in ks])
         if isinstance(vx, V.VShuffle):
             a = self.emit(vx.varg)
             return self.line(("vshuffle", a), ["Shuffle", str(a)])

@@ -82,14 +82,31 @@ class Shuffle:
 
 @dataclass(frozen=True)
 class Fold:
+    """Aggregate fdata per group id (see module doc).  ``fmask`` is an
+    optional row predicate: rows with a zero mask are excluded — the
+    predicated-aggregation form that replaces compact-then-gather chains
+    (filter via selection vector) with a masked scan (filter via
+    predication), which is the TPU-native shape of filter+aggregate."""
+
     foldop: str
     fgroups: "Vexp"
     fdata: "Vexp"
+    fmask: Optional["Vexp"] = None
 
 
 @dataclass(frozen=True)
 class Semisort:
     sdata: "Vexp"
+
+
+@dataclass(frozen=True)
+class SortPerm:
+    """Stable multi-key sort permutation for ORDER BY (extension: the
+    reference parses order clauses but cannot lower them,
+    Mplan.hs:267-269).  ``descs[i]`` flips key i's direction."""
+
+    keys: Tuple["Vexp", ...]
+    descs: Tuple[bool, ...]
 
 
 @dataclass(frozen=True)
@@ -160,8 +177,8 @@ class JoinIndex:
     jside: str
 
 
-Vx = Union[Load, RangeV, RangeC, Binop, Shuffle, Fold, Semisort, Partition,
-           Like, DictMap, VShuffle, CrossProduct, JoinIndex]
+Vx = Union[Load, RangeV, RangeC, Binop, Shuffle, Fold, Semisort, SortPerm,
+           Partition, Like, DictMap, VShuffle, CrossProduct, JoinIndex]
 
 
 @dataclass(frozen=True)
@@ -226,9 +243,12 @@ def _struct_key(vx: Vx) -> tuple:
         return ("Shuffle", vx.shop, vx.shsource.skey, vx.shpos.skey,
                 vx.shshape.skey if vx.shshape is not None else None)
     if isinstance(vx, Fold):
-        return ("Fold", vx.foldop, vx.fgroups.skey, vx.fdata.skey)
+        return ("Fold", vx.foldop, vx.fgroups.skey, vx.fdata.skey,
+                vx.fmask.skey if vx.fmask is not None else None)
     if isinstance(vx, Semisort):
         return ("Semisort", vx.sdata.skey)
+    if isinstance(vx, SortPerm):
+        return ("SortPerm", tuple(k.skey for k in vx.keys), vx.descs)
     if isinstance(vx, Partition):
         return ("Partition", vx.pivots.skey, vx.pdata.skey)
     if isinstance(vx, Like):
@@ -388,6 +408,11 @@ def infer_metadata(vx: Vx) -> ColInfo:
     if isinstance(vx, Semisort):
         return vx.sdata.info
 
+    if isinstance(vx, SortPerm):
+        n = vx.keys[0].info.count
+        return ColInfo(bounds=(0, max(n - 1, 0)), count=n, stype=SInt64(),
+                       dtype=_POINT0, trailing_zeros=0)
+
     if isinstance(vx, Shuffle) and vx.shop == GATHER:
         src = vx.shsource.info
         # gathered padding defaults to zero as well
@@ -492,7 +517,8 @@ def infer_lineage(vx: Vx) -> Optional[Lineage]:
         return Lineage(col=lv.col,
                        mask=complete(Fold(foldop=vx.foldop,
                                           fgroups=vx.fgroups,
-                                          fdata=lv.mask)))
+                                          fdata=lv.mask,
+                                          fmask=vx.fmask)))
     return None
 
 
@@ -507,6 +533,8 @@ def infer_uniqueness(vx: Vx) -> str:
     if isinstance(vx, (RangeV, RangeC)) and vx.rstep != 0:
         return UNIQUE
     if isinstance(vx, Fold) and vx.foldop == FSEL:
+        return UNIQUE
+    if isinstance(vx, SortPerm):
         return UNIQUE
     if isinstance(vx, JoinIndex) and vx.jside in (JSEMI, JANTI):
         return UNIQUE
@@ -740,6 +768,15 @@ def solve_prime(cfg: Config, r: M.RelExpr) -> List[Vexp]:
     if isinstance(r, M.RJoin):
         return _solve_join(cfg, r)
 
+    if isinstance(r, M.RTopN):
+        # keep the first n rows of the (ordered) child; positions < n among
+        # valid rows
+        cols = solve(cfg, r.child).cols
+        rows = pos_(cols[0])
+        b = lt_(rows, const_(r.n, rows))
+        sel = complete(Fold(foldop=FSEL, fgroups=pos_(b), fdata=b))
+        return gather_all(cols, sel)
+
     if isinstance(r, M.RCartesianProduct):
         lcols = solve(cfg, r.leftch).cols
         rcols = solve(cfg, r.rightch).cols
@@ -758,13 +795,22 @@ def gather_all(cols: List[Vexp], shpos: Vexp) -> List[Vexp]:
 
 
 def _solve_project(cfg: Config, r: M.RProject) -> List[Vexp]:
-    """Sequential scoping: later outputs see earlier ones (Vlite.hs:587-619)."""
+    """Sequential scoping: later outputs see earlier ones (Vlite.hs:587-619).
+    Ordered projects additionally sort every output through a stable
+    multi-key permutation (extension; reference cannot lower order
+    clauses)."""
     base = solve(cfg, r.child).cols
     acc: List[Vexp] = []
     for expr, outname in r.projectout:
         env = Env(base + acc, weak=True, cfg=cfg)
         anon = sc(env, expr)
         acc.append(anon.with_(name=outname))
+    if r.order:
+        scope = Env(base + acc, weak=True, cfg=cfg)
+        keys = tuple(scope.lookup(n) for n, _ in r.order)
+        descs = tuple(d == "desc" for _, d in r.order)
+        perm = complete(SortPerm(keys=keys, descs=descs))
+        acc = [gather(c, perm).with_(name=c.name) for c in acc]
     return acc
 
 
