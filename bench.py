@@ -41,7 +41,7 @@ def device_bw() -> float:
 
 def main():
     sf = float(os.environ.get("BENCH_SF", "1.0"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "600"))
     qname = os.environ.get("BENCH_QUERY", "06")
 
     from mplan2vdl_tpu.engine import datagen
@@ -58,37 +58,39 @@ def main():
     cq = compile_plan_text(text, cfg, store)
     args = cq.device_args()  # device-resident columns
 
-    # timing: K data-chained query iterations inside ONE jit call — each
-    # iteration's input is perturbed by (a runtime-zero of) the previous
-    # result, so XLA cannot CSE/hoist and dispatch/tunnel latency is
-    # amortized out of the per-iteration figure
-    from jax import lax
+    # Timing methodology for the tunneled device: block_until_ready does
+    # not actually wait, so the completion barrier is fetching the (tiny)
+    # result to the host.  The query runs K data-chained iterations inside
+    # one on-device fori_loop; two K values cancel the host round-trip:
+    # per-iter = (t_long - t_short) / (K2 - K1).
     import jax.numpy as jnp
+    from jax import lax
 
     def loop(all_args, k):
-        def body(i, carry):
-            acc, a = carry, all_args
-            pert = jnp.where(acc < 0, 1, 0).astype(a[0].dtype)
-            a = (a[0] + pert,) + a[1:]
+        def body(i, acc):
+            pert = jnp.where(acc < 0, 1, 0).astype(all_args[0].dtype)
+            a = (all_args[0] + pert,) + all_args[1:]
             outs = cq._run(a)
-            return acc + jnp.asarray(outs[0][1], jnp.int64)
+            return (acc + jnp.asarray(outs[0][1], jnp.int64)
+                    + jnp.asarray(outs[0][0][0], jnp.int64))
 
         return lax.fori_loop(0, k, body, jnp.int64(0))
 
-    jloop = jax.jit(loop, static_argnums=1)
-    out = jloop(args, 2)
-    jax.block_until_ready(out)
+    jl = jax.jit(loop, static_argnums=1)
+    K1, K2 = 4, 4 + iters
+    np.asarray(jl(args, K1))
+    np.asarray(jl(args, K2))
     compile_s = time.time() - t0
 
-    t0 = time.time()
-    out = jloop(args, 2 + iters)
-    jax.block_until_ready(out)
-    t_long = time.time() - t0
-    t0 = time.time()
-    out = jloop(args, 2)
-    jax.block_until_ready(out)
-    t_short = time.time() - t0
-    t = max(t_long - t_short, 1e-9) / iters
+    def measure(k):
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(jl(args, k))
+            reps.append(time.time() - t0)
+        return float(np.median(reps))
+
+    t = max(measure(K2) - measure(K1), 1e-9) / (K2 - K1)
 
     n_rows = store.table_count(("lineitem",))
     rows_per_s = n_rows / t

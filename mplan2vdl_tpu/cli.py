@@ -119,6 +119,18 @@ def cmd_genplans(args):
     print(f"SUCCESS/TOTAL: {ok}/{len(files)}")
 
 
+def cmd_explain(args):
+    cfg = _config_from_args(args)
+    text = open(args.plan).read() if args.plan != "-" else sys.stdin.read()
+    from . import passes
+    from .explain import explain_vexps
+
+    vexps = _compile_to_vexps(text, cfg, args.push_joins, False)
+    if args.cleanup:
+        vexps = passes.engine_passes(vexps)
+    print(explain_vexps(vexps))
+
+
 def cmd_run(args):
     if args.cpu:
         import jax
@@ -159,6 +171,12 @@ def main(argv=None):
     _add_meta_args(pg)
     _add_flag_args(pg)
     pg.set_defaults(fn=cmd_genplans)
+
+    pe = sub.add_parser("explain", help="dump the vector-IR DAG + metadata")
+    pe.add_argument("plan")
+    _add_meta_args(pe)
+    _add_flag_args(pe)
+    pe.set_defaults(fn=cmd_explain)
 
     pr = sub.add_parser("run", help="execute a plan on the engine")
     pr.add_argument("plan")

@@ -45,6 +45,7 @@ from ..catalog import ColInfo, Config
 from ..mtypes import DDate, DDecimal, DString, INT32_MAX, INT32_MIN
 from ..names import Name, name_str
 from .columnstore import ColumnStore
+from .kernels import segred
 
 DENSE_DOMAIN_LIMIT = 1 << 20
 
@@ -438,11 +439,14 @@ class Compiler:
             m = self._force(self.eval(fmask))
             validmask = validmask & (m.data[:n] != 0)
         art: dict = {"n": n, "domain": domain, "validmask": validmask}
-        if domain <= DENSE_DOMAIN_LIMIT:
+        if domain <= segred.SMALL_DOMAIN:
+            # unrolled masked reductions: XLA multi-output fusion makes the
+            # whole group-by one pass over the input (TPU scatter-add
+            # serializes on colliding indices, so segment_sum is unusable)
             ids = jnp.clip(g.data.astype(jnp.int64), 0, domain - 1)
             ids_ok = jnp.where(validmask, ids, domain)
-            occ = jax.ops.segment_sum(validmask.astype(jnp.int32), ids_ok,
-                                      num_segments=domain + 1)[:domain] > 0
+            counts = segred.group_counts(ids_ok, domain)
+            occ = counts > 0
             (sel,) = jnp.nonzero(occ, size=L_out, fill_value=0)
             ngroups = jnp.sum(occ.astype(jnp.int64))
             art.update(dense=True, ids_ok=ids_ok, sel=sel, ngroups=ngroups)
@@ -469,17 +473,20 @@ class Compiler:
         art = self._group_artifacts(vx.fgroups, L_out, vx.fmask)
         n = art["n"]
         data = dval.data[:n].astype(dt)
-        segop = {V.FSUM: jax.ops.segment_sum,
-                 V.FMAX: jax.ops.segment_max,
-                 V.FMIN: jax.ops.segment_min,
-                 V.FCHOOSE: jax.ops.segment_max}[vx.foldop]
+        opname = {V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
+                  V.FCHOOSE: "max"}[vx.foldop]
         if art["dense"]:
             domain = art["domain"]
-            agg = segop(data, art["ids_ok"], num_segments=domain + 1)[:domain]
+            agg = segred.masked_group_reduce(data, art["ids_ok"], domain,
+                                             opname)
             # min/max over empty segments yield identity sentinels; the
             # occupancy compaction drops those slots
             out = agg[art["sel"]]
         else:
+            segop = {V.FSUM: jax.ops.segment_sum,
+                     V.FMAX: jax.ops.segment_max,
+                     V.FMIN: jax.ops.segment_min,
+                     V.FCHOOSE: jax.ops.segment_max}[vx.foldop]
             sorted_data = data[art["perm"]]
             agg = segop(sorted_data, art["run_ok"],
                         num_segments=L_out + 1)[:L_out]

@@ -1,0 +1,65 @@
+"""Automatic distributed execution: TPC-H Q1 and Q6 mplans run over the
+8-device mesh straight from the vector IR, matching the single-chip engine
+row-exactly."""
+
+import os
+
+import numpy as np
+import pytest
+
+TPCH10 = "/root/reference/tests/tpch10noorder"
+
+
+@pytest.fixture(scope="session")
+def dist_setup():
+    import jax
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.parallel import dist
+
+    store = datagen.generate(sf=0.01, seed=7)
+    cfg = store.make_catalog()
+    mesh = dist.make_mesh(jax.devices()[:8])
+    return store, cfg, mesh
+
+
+@pytest.mark.parametrize("q", ["06", "01"])
+def test_auto_distributed_matches_single_chip(dist_setup, q):
+    from mplan2vdl_tpu import mplan, passes, vir
+    from mplan2vdl_tpu.engine.lower import CompiledQuery
+    from mplan2vdl_tpu.fe import lexer, plan_parser
+    from mplan2vdl_tpu.parallel import auto
+
+    store, cfg, mesh = dist_setup
+    with open(os.path.join(TPCH10, f"{q}.sql.mplan")) as f:
+        text = f.read()
+    rel = plan_parser.parse(lexer.strip_plan_comments(text))
+    m = mplan.fuse_selects(mplan.push_fk_joins(
+        mplan.mplan_from_parse_tree(rel, cfg)))
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+
+    dq = auto.distribute(cfg, store, vexps, mesh)
+    dist_cols = dq()
+
+    single = CompiledQuery(cfg, vexps, store)()
+    assert len(dist_cols) == len(single.columns)
+    got = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                       for _, _, c in dist_cols]))
+    want = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                        for c in single.columns]))
+    assert got == want
+
+
+def test_join_plans_report_not_distributable(dist_setup):
+    from mplan2vdl_tpu import mplan, passes, vir
+    from mplan2vdl_tpu.fe import lexer, plan_parser
+    from mplan2vdl_tpu.parallel import auto
+
+    store, cfg, mesh = dist_setup
+    with open(os.path.join(TPCH10, "03.sql.mplan")) as f:
+        text = f.read()
+    rel = plan_parser.parse(lexer.strip_plan_comments(text))
+    m = mplan.fuse_selects(mplan.push_fk_joins(
+        mplan.mplan_from_parse_tree(rel, cfg)))
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+    with pytest.raises(auto.NotDistributable):
+        auto.distribute(cfg, store, vexps, mesh)

@@ -1,0 +1,81 @@
+"""Native runtime + kernel unit tests: parallel column stats, FK index
+building, store persistence roundtrip, and the masked group-reduce that
+replaces TPU's serialized scatter-add."""
+
+import numpy as np
+import pytest
+
+
+def test_native_column_stats_matches_numpy():
+    from mplan2vdl_tpu.engine import nativeio
+
+    rng = np.random.default_rng(0)
+    for dtype in (np.int32, np.int64):
+        arr = (rng.integers(-1000, 10**6, size=100_001) * 4).astype(dtype)
+        mn, mx, tz, n = nativeio.column_stats(arr)
+        assert mn == arr.min() and mx == arr.max() and n == len(arr)
+        g = int(np.bitwise_or.reduce(np.abs(arr).astype(np.int64)))
+        assert tz == ((g & -g).bit_length() - 1)
+
+
+def test_native_fk_index():
+    from mplan2vdl_tpu.engine import nativeio
+
+    rng = np.random.default_rng(1)
+    dim = rng.permutation(np.arange(10, 5010))
+    fact = dim[rng.integers(0, len(dim), size=40_000)]
+    idx = nativeio.fk_index(fact, dim)
+    assert np.array_equal(dim[idx], fact)
+    with pytest.raises(ValueError):
+        nativeio.fk_index(np.array([99999]), dim)
+
+
+def test_store_roundtrip(tmp_path):
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.engine.columnstore import ColumnStore
+
+    store = datagen.generate(sf=0.002, seed=3)
+    store.save(str(tmp_path / "s"))
+    s2 = ColumnStore.load(str(tmp_path / "s"))
+    for k, v in store.columns.items():
+        assert np.array_equal(s2.columns[k], v), k
+    assert s2.decoders == store.decoders
+
+
+def test_masked_group_reduce():
+    import jax
+
+    from mplan2vdl_tpu.engine.kernels import segred
+
+    rng = np.random.default_rng(2)
+    n, domain = 5000, 9
+    ids = rng.integers(0, domain + 1, size=n)  # domain = dump slot
+    data = rng.integers(-100, 100, size=n).astype(np.int64)
+    got_sum = np.asarray(segred.masked_group_reduce(
+        jax.numpy.asarray(data), jax.numpy.asarray(ids), domain, "sum"))
+    got_max = np.asarray(segred.masked_group_reduce(
+        jax.numpy.asarray(data), jax.numpy.asarray(ids), domain, "max"))
+    cnt = np.asarray(segred.group_counts(jax.numpy.asarray(ids), domain))
+    for g in range(domain):
+        m = ids == g
+        assert got_sum[g] == data[m].sum()
+        assert cnt[g] == m.sum()
+        if m.any():
+            assert got_max[g] == data[m].max()
+
+
+def test_explain_smoke(tmp_path):
+    from mplan2vdl_tpu import mplan, passes, vir
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.explain import explain_vexps
+    from mplan2vdl_tpu.fe import lexer, plan_parser
+
+    store = datagen.generate(sf=0.002, seed=4)
+    cfg = store.make_catalog()
+    with open("/root/reference/tests/tpch10noorder/06.sql.mplan") as f:
+        rel = plan_parser.parse(lexer.strip_plan_comments(f.read()))
+    vexps = passes.engine_passes(
+        vir.vexps_from_mplan(mplan.mplan_from_parse_tree(rel, cfg), cfg))
+    txt = explain_vexps(vexps)
+    assert "Fold FSum masked" in txt  # predication fired
+    assert "Load lineitem.l_extendedprice" in txt
