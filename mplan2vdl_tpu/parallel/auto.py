@@ -1,25 +1,27 @@
-"""Automatic distributed execution of single-fact-table aggregate plans.
+"""Automatic distributed execution of fact-table aggregate plans.
 
-Takes a compiled query's vector IR (after the predication pass — the
-filter is a fold mask, so the pre-aggregate stage is embarrassingly
-row-parallel) and, when the plan qualifies, runs it distributed:
+Takes a compiled query's vector IR (after the predication pass) and, when
+the plan qualifies, runs the pre-aggregate stage fully distributed:
 
-  * qualification: every Load under the terminal Folds belongs to one
-    table; all Folds share one group-id vector with a dense (bounded)
-    domain
-  * each shard evaluates the group-ids/data/mask trees on its row range
-    with the ordinary engine Compiler (the full scalar op set works
-    shard-locally) and produces a *dense per-domain partial* per Fold
-  * one collective per Fold combines partials over ICI: psum for sums /
-    counts, pmax/pmin for max/min/choose (empty segments carry the
-    segment-reduce identity, which the lattice collectives absorb)
-  * the tiny combined vectors are compacted to occupied groups and seeded
-    into a fresh Compiler memo, which then evaluates the remaining
-    group-level expressions (avg divisions, key reuse) unchanged
+  * the FACT table (the one whose row count carries the plan's row axis)
+    is row-sharded over the mesh's ``d`` axis; all other (dimension)
+    tables are replicated to every shard — so the FK-gather join algebra
+    (Vlite.hs:1248-1282), selections, LIKE, and scalar arithmetic all run
+    shard-local through the ordinary engine Compiler with zero
+    communication
+  * every terminal Fold shares one dense-bounded group-id vector; each
+    shard produces a dense per-domain partial per Fold, and one lattice
+    collective per Fold (psum / pmax / pmin over ICI) combines them —
+    the TPU-native analog of the reference's hierarchical fold
+    (Vlite.hs:1173-1194)
+  * the combined vectors are compacted to occupied groups and seeded into
+    a fresh Compiler memo, which evaluates the remaining group-level
+    expressions (avg divisions, key reuse) unchanged
 
-This distributes TPC-H Q1/Q6-class queries end-to-end from the same IR the
-single-chip engine runs, with no per-query code.  Joins fall back to
-single-chip (distributed shuffle join: ROADMAP.md).
+Disqualified (single-chip fallback): sparse group domains (> 2^20 —
+pending the shuffle-based distributed group-by), JoinIndex general
+equijoins (pending the distributed shuffle join), SortPerm ordering.
+Identity-keyed group-bys disqualify automatically via the domain bound.
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import vir as V
 from ..catalog import Config
 from ..engine.columnstore import ColumnStore
+from ..engine.kernels import segred
 from ..engine.lower import (Compiler, Val, _children, _mask_tail, dtype_for)
 from ..names import Name
 
@@ -67,28 +70,43 @@ def _collect_folds(vexps: List[V.Vexp]) -> List[V.Vexp]:
     return list(folds.values())
 
 
-def _loads_under(v: V.Vexp) -> List[Name]:
-    seen, out = set(), []
+def _subtree_scan(v: V.Vexp, fact_count: int = -1):
+    """(loads, flags) over a fold subtree."""
+    seen, loads = set(), []
+    flags = {"join": False, "sort": False, "fact_dim": False}
 
     def go(x: V.Vexp):
         if x.skey in seen:
             return
         seen.add(x.skey)
         if isinstance(x.vx, V.Load):
-            out.append(x.vx.name)
+            loads.append(x.vx.name)
+        if isinstance(x.vx, V.JoinIndex):
+            flags["join"] = True
+        if isinstance(x.vx, V.SortPerm):
+            flags["sort"] = True
+        if (isinstance(x.vx, V.Shuffle) and x.vx.shop == V.SCATTER
+                and x.vx.shshape is not None
+                and x.vx.shshape.info.count == fact_count):
+            # a join treats the sharded fact table as its dimension side:
+            # the mask scatter needs the full fact domain (distributed fk
+            # join: ROADMAP)
+            flags["fact_dim"] = True
         for c in _children(x.vx):
             go(c)
 
     go(v)
-    return out
+    return loads, flags
 
 
 class _ShardCompiler(Compiler):
-    """Loads yield the local row shard with a shard-local valid count."""
+    """Loads of the fact table yield the local row shard; dimension tables
+    are replicated.  Fact-sized ranges size to the shard."""
 
-    def __init__(self, cfg, store, local_valid, shard_tables):
+    def __init__(self, cfg, store, local_valid, shard_tables, fact_count):
         super().__init__(cfg, store)
         self.local_valid = local_valid
+        self.fact_count = fact_count
         self.memo, self.group_cache, self.join_cache = {}, {}, {}
         self.tables = shard_tables
 
@@ -96,16 +114,19 @@ class _ShardCompiler(Compiler):
         vx = v.vx
         if isinstance(vx, V.Load):
             arr = self.tables[vx.name]
-            return Val(data=_mask_tail(arr, self.local_valid, len(arr)),
-                       valid=self.local_valid, length=len(arr))
-        if isinstance(vx, V.RangeC):
-            # table-row ranges size to the shard
-            return Val(data=None, valid=vx.rcount, length=vx.rcount,
+            n = arr.shape[-1]
+            if v.info.count == self.fact_count:  # fact shard
+                return Val(data=_mask_tail(arr, self.local_valid, n),
+                           valid=self.local_valid, length=n)
+            return Val(data=arr, valid=n, length=n)
+        if isinstance(vx, V.RangeC) and vx.rcount == self.fact_count:
+            # the fact table's row-id range sizes to the shard
+            n = next(iter(self.tables.values())).shape[-1] \
+                if self.tables else vx.rcount
+            shard_rows = self._shard_rows
+            return Val(data=None, valid=self.local_valid, length=shard_rows,
                        lazy_range=(vx.rmin, vx.rstep))
         return super()._eval(v)
-
-
-_SEG_IDENT = {V.FSUM: 0, V.FMAX: None, V.FMIN: None, V.FCHOOSE: None}
 
 
 @dataclass
@@ -122,41 +143,75 @@ class AutoDistributed:
         if not folds:
             raise NotDistributable("no aggregate stage")
         g0 = folds[0].vx.fgroups
-        if any(f.vx.fgroups.skey != g0.skey for f in folds):
+        single_group = all(f.vx.fgroups.info.bounds == (0, 0) for f in folds)
+        if not single_group and any(f.vx.fgroups.skey != g0.skey
+                                    for f in folds):
             raise NotDistributable("aggregates use different group keys")
         domain = g0.info.bounds[1] + 1
         if domain > (1 << 20):
-            raise NotDistributable("group domain too large for dense combine")
-        tables = set()
+            raise NotDistributable(
+                "sparse group domain (shuffle-based distributed group-by: "
+                "ROADMAP)")
+        # the fact table carries the plan's row axis: its row count equals
+        # the fold input length bound
+        row_axis = folds[0].vx.fgroups.info.count
+        loads, tabs = [], set()
         for f in folds:
-            for nm in _loads_under(f):
-                tables.add(nm[0])
-        if len(tables) != 1:
-            raise NotDistributable(f"aggregate stage reads tables {tables}")
-        self.table = (next(iter(tables)),)
+            ls, flags = _subtree_scan(f, row_axis)
+            if flags["join"]:
+                raise NotDistributable(
+                    "general equijoin (distributed shuffle join: ROADMAP)")
+            if flags["sort"]:
+                raise NotDistributable("ordered aggregate stage")
+            if flags["fact_dim"]:
+                raise NotDistributable(
+                    "fact table is a join's dimension side (distributed fk "
+                    "join: ROADMAP)")
+            loads += ls
+            tabs.update(nm[0] for nm in ls)
+        if not tabs:
+            raise NotDistributable("aggregate stage reads no table")
+
+        facts = {t for t in tabs
+                 if self.store.table_count((t,)) == row_axis}
+        if len(facts) != 1:
+            raise NotDistributable(
+                f"cannot identify a unique fact table among {tabs}")
+        self.fact = next(iter(facts))
+        self.fact_count = row_axis
         self.folds = folds
         self.domain = domain
 
-        n = self.store.table_count(self.table)
+        n = self.fact_count
         n_dev = self.mesh.devices.size
         self.shard_rows = -(-n // n_dev)
         self.padded = self.shard_rows * n_dev
-        self.n_rows = n
-        self.loads = sorted({nm for f in folds for nm in _loads_under(f)})
+        self.loads = sorted(set(loads))
+        self.fact_loads = [nm for nm in self.loads if nm[0] == self.fact]
+        self.dim_loads = [nm for nm in self.loads if nm[0] != self.fact]
 
-        shard_rows, domain_, folds_, loads = (self.shard_rows, self.domain,
-                                              self.folds, self.loads)
-        cfg, store = self.cfg, self.store
+        shard_rows, domain_, folds_ = self.shard_rows, self.domain, self.folds
+        fact_loads, dim_loads = self.fact_loads, self.dim_loads
+        cfg, store, fact_count = self.cfg, self.store, self.fact_count
 
-        @partial(jax.shard_map, mesh=self.mesh, in_specs=(P("d"), P()),
-                 out_specs=P(), check_vma=False)
-        def step(arrays, counts):
-            local = dict(zip(loads, (a.reshape(-1) for a in arrays)))
+        in_specs = (P("d"),) * len(fact_loads) + (P(),) * len(dim_loads) \
+            + (P(),)
+
+        @partial(jax.shard_map, mesh=self.mesh, in_specs=(in_specs
+                 if False else tuple(in_specs)), out_specs=P(),
+                 check_vma=False)
+        def step(*all_in):
+            arrays, counts = all_in[:-1], all_in[-1]
+            local = {}
+            for nm, a in zip(fact_loads + dim_loads, arrays):
+                local[nm] = a.reshape(-1)
             shard = lax.axis_index("d")
             start = (shard * shard_rows).astype(jnp.int64)
             local_valid = jnp.clip(counts[0] - start, 0, shard_rows)
-            c = _ShardCompiler(cfg, store, local_valid, local)
+            c = _ShardCompiler(cfg, store, local_valid, local, fact_count)
+            c._shard_rows = shard_rows
             outs = []
+            occ_local = None
             for f in folds_:
                 vx = f.vx
                 g = c._force(c.eval(vx.fgroups))
@@ -170,8 +225,6 @@ class AutoDistributed:
                     valid = valid & (m.data[:nloc] != 0)
                 ids = jnp.clip(g.data.astype(jnp.int64), 0, domain_ - 1)
                 ids_ok = jnp.where(valid, ids, domain_)
-                from ..engine.kernels import segred
-
                 if domain_ <= segred.SMALL_DOMAIN:
                     opname = {V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
                               V.FCHOOSE: "max"}[vx.foldop]
@@ -201,13 +254,13 @@ class AutoDistributed:
         self._step = jax.jit(step)
 
     def __call__(self):
-        args = tuple(self._shard(self.store.columns[nm]) for nm in self.loads)
-        counts = jnp.asarray([self.n_rows], jnp.int64)
-        outs = self._step(args, counts)
+        args = [self._shard(self.store.columns[nm]) for nm in self.fact_loads]
+        args += [jnp.asarray(self.store.columns[nm])
+                 for nm in self.dim_loads]
+        counts = jnp.asarray([self.fact_count], jnp.int64)
+        outs = self._step(*args, counts)
         dense_list, occ = outs[:-1], outs[-1]
 
-        # compact to occupied groups and seed the fold results into a
-        # fresh single-device Compiler that evaluates the rest of the DAG
         occ_np = np.asarray(occ)
         sel = np.nonzero(occ_np > 0)[0]
         ngroups = len(sel)

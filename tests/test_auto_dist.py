@@ -22,7 +22,7 @@ def dist_setup():
     return store, cfg, mesh
 
 
-@pytest.mark.parametrize("q", ["06", "01"])
+@pytest.mark.parametrize("q", ["06", "01", "04", "05", "08", "12", "14", "19"])
 def test_auto_distributed_matches_single_chip(dist_setup, q):
     from mplan2vdl_tpu import mplan, passes, vir
     from mplan2vdl_tpu.engine.lower import CompiledQuery
@@ -37,7 +37,12 @@ def test_auto_distributed_matches_single_chip(dist_setup, q):
         mplan.mplan_from_parse_tree(rel, cfg)))
     vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
 
-    dq = auto.distribute(cfg, store, vexps, mesh)
+    try:
+        dq = auto.distribute(cfg, store, vexps, mesh)
+    except auto.NotDistributable as e:
+        assert q not in ("06", "01", "05", "19"), \
+            f"{q} must distribute: {e}"
+        pytest.skip(f"not distributable: {e}")
     dist_cols = dq()
 
     single = CompiledQuery(cfg, vexps, store)()
@@ -49,7 +54,7 @@ def test_auto_distributed_matches_single_chip(dist_setup, q):
     assert got == want
 
 
-def test_join_plans_report_not_distributable(dist_setup):
+def test_sparse_domain_reports_not_distributable(dist_setup):
     from mplan2vdl_tpu import mplan, passes, vir
     from mplan2vdl_tpu.fe import lexer, plan_parser
     from mplan2vdl_tpu.parallel import auto
