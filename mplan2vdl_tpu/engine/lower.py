@@ -477,8 +477,11 @@ class Compiler:
                   V.FCHOOSE: "max"}[vx.foldop]
         if art["dense"]:
             domain = art["domain"]
+            blo, bhi = vx.fdata.info.bounds
             agg = segred.masked_group_reduce(data, art["ids_ok"], domain,
-                                             opname)
+                                             opname,
+                                             abs_bound=max(abs(blo),
+                                                           abs(bhi)))
             # min/max over empty segments yield identity sentinels; the
             # occupancy compaction drops those slots
             out = agg[art["sel"]]
