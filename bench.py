@@ -68,8 +68,11 @@ def main():
 
     def loop(all_args, k):
         def body(i, acc):
-            pert = jnp.where(acc < 0, 1, 0).astype(all_args[0].dtype)
-            a = (all_args[0] + pert,) + all_args[1:]
+            # perturb EVERY input with a runtime zero: without this, XLA
+            # hoists loop-invariant subexpressions out of the loop and
+            # materializes them, distorting the per-iteration traffic
+            pert = jnp.where(acc < 0, 1, 0)
+            a = tuple(x + pert.astype(x.dtype) for x in all_args)
             outs = cq._run(a)
             return (acc + jnp.asarray(outs[0][1], jnp.int64)
                     + jnp.asarray(outs[0][0][0], jnp.int64))
@@ -122,7 +125,7 @@ def supervised():
     import subprocess
 
     sf = float(os.environ.get("BENCH_SF", "1.0"))
-    for attempt in range(4):
+    for attempt in range(5):
         env = dict(os.environ, BENCH_CHILD="1", BENCH_SF=str(sf))
         try:
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -139,7 +142,8 @@ def supervised():
             sys.stderr.write(out.stderr[-1500:])
         except subprocess.TimeoutExpired:
             sys.stderr.write(f"# attempt {attempt}: timed out (sf={sf})\n")
-        sf = max(sf / 2, 0.1)
+        if attempt >= 1:  # stalls are tunnel flakiness, not size: keep SF
+            sf = max(sf / 2, 0.1)  # ... but shrink once patience runs out
     print(json.dumps({"metric": "tpch_q06_rows_per_sec", "value": 0,
                       "unit": "rows/s/chip", "vs_baseline": 0}))
 

@@ -46,6 +46,9 @@ def _add_flag_args(p):
     p.add_argument("--sparsity", type=float, default=1.0)
     p.add_argument("--goffset", type=int, default=0)
     p.add_argument("--use-cross-product", action="store_true")
+    p.add_argument("--vdlformat", action="store_true", default=True)
+    p.add_argument("--vliteformat", dest="vdlformat", action="store_false",
+                   help="one-value-per-vector output labels")
     p.add_argument("--dot", action="store_true",
                    help="emit a graphviz digraph of the plan tree")
 
@@ -96,10 +99,13 @@ def cmd_compile(args):
         rel = plan_parser.parse(lexer.strip_plan_comments(text))
         print(to_dot_string(rel))
         return
-    from .vdl_emit import emit_vdl
+    from .vdl_emit import emit_vdl, emit_vlite
 
     vexps = _compile_to_vexps(text, cfg, args.push_joins, args.cleanup)
-    print(emit_vdl(vexps, cfg, show_metadata=args.metadata))
+    if getattr(args, "vdlformat", True):
+        print(emit_vdl(vexps, cfg, show_metadata=args.metadata))
+    else:
+        print(emit_vlite(vexps, cfg))
 
 
 def cmd_genplans(args):

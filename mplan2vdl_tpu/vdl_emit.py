@@ -226,3 +226,23 @@ def emit_vdl(vexps: List[V.Vexp], cfg: Config,
                        meta=em.metadata_of(v))
         em.line(("mat", proj), ["MaterializeCompact", str(proj)])
     return "\n".join(em.lines)
+
+
+def emit_vlite(vexps: List[V.Vexp], cfg: Config) -> str:
+    """The vlite output variant: outputs labeled
+    ``name,Output,typestring`` with display-type strings
+    (Vdl.hs:371-407,467-476)."""
+    em = _Emitter(cfg, False)
+    lines: List[str] = []
+    for v in vexps:
+        iden = em.emit(v)
+        dt = v.info.dtype
+        if isinstance(dt, DDecimal):
+            typ = f"decimal_{dt.point}"
+        elif isinstance(dt, DString):
+            typ = f"string_{name_str(dt.decoder)}"
+        else:
+            typ = "date"
+        nm = v.name[-1] if v.name else "val"
+        lines.append(f"{nm},Output,{typ},{iden}")
+    return "\n".join(em.lines + lines)
