@@ -148,10 +148,15 @@ class AutoDistributed:
                                     for f in folds):
             raise NotDistributable("aggregates use different group keys")
         domain = g0.info.bounds[1] + 1
-        if domain > (1 << 20):
-            raise NotDistributable(
-                "sparse group domain (shuffle-based distributed group-by: "
-                "ROADMAP)")
+        self.sparse = domain > (1 << 20)
+        if self.sparse:
+            # the shuffle path combines every fold through one exchange, so
+            # all folds must share the same row validity
+            masks = {f.vx.fmask.skey if f.vx.fmask is not None else None
+                     for f in folds}
+            if len(masks) != 1:
+                raise NotDistributable(
+                    "sparse group-by with differing fold masks")
         # the fact table carries the plan's row axis: its row count equals
         # the fold input length bound
         row_axis = folds[0].vx.fgroups.info.count
@@ -193,13 +198,52 @@ class AutoDistributed:
         shard_rows, domain_, folds_ = self.shard_rows, self.domain, self.folds
         fact_loads, dim_loads = self.fact_loads, self.dim_loads
         cfg, store, fact_count = self.cfg, self.store, self.fact_count
+        n_dev_ = self.mesh.devices.size
+        sparse = self.sparse
+        from .shuffle_agg import _SENT, shard_shuffle_combine
+
+        per_owner = -(-domain // n_dev_)
+        cap = 2 * (shard_rows // n_dev_) + 64
+        self.cap = cap
+        fold_ops = tuple({V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
+                          V.FCHOOSE: "max"}[f.vx.foldop] for f in folds_)
 
         in_specs = (P("d"),) * len(fact_loads) + (P(),) * len(dim_loads) \
             + (P(),)
 
-        @partial(jax.shard_map, mesh=self.mesh, in_specs=(in_specs
-                 if False else tuple(in_specs)), out_specs=P(),
-                 check_vma=False)
+        @partial(jax.shard_map, mesh=self.mesh, in_specs=tuple(in_specs),
+                 out_specs=(P("d"),) * (2 + len(folds_)), check_vma=False)
+        def sparse_step(*all_in):
+            arrays, counts = all_in[:-1], all_in[-1]
+            local = {}
+            for nm, a in zip(fact_loads + dim_loads, arrays):
+                local[nm] = a.reshape(-1)
+            shard = lax.axis_index("d")
+            start = (shard * shard_rows).astype(jnp.int64)
+            local_valid = jnp.clip(counts[0] - start, 0, shard_rows)
+            c = _ShardCompiler(cfg, store, local_valid, local, fact_count)
+            c._shard_rows = shard_rows
+            f0 = folds_[0].vx
+            g = c._force(c.eval(f0.fgroups))
+            nloc = g.length
+            idx = jnp.arange(nloc, dtype=jnp.int64)
+            valid = idx < jnp.asarray(g.valid, jnp.int64)
+            if f0.fmask is not None:
+                m = c._force(c.eval(f0.fmask))
+                valid = valid & (m.data[:nloc] != 0)
+            keys = jnp.where(valid, g.data.astype(jnp.int64), _SENT)
+            vals = []
+            for f in folds_:
+                d = c._force(c.eval(f.vx.fdata))
+                vals.append(d.data[:nloc].astype(dtype_for(f.info)))
+            gk, gvals, overflow = shard_shuffle_combine(
+                keys, vals, fold_ops, shard_rows, n_dev_, per_owner, cap)
+            return (gk.reshape(1, -1),
+                    jnp.array([overflow]).reshape(1, 1)) + tuple(
+                        v.reshape(1, -1) for v in gvals)
+
+        @partial(jax.shard_map, mesh=self.mesh, in_specs=tuple(in_specs),
+                 out_specs=P(), check_vma=False)
         def step(*all_in):
             arrays, counts = all_in[:-1], all_in[-1]
             local = {}
@@ -251,7 +295,7 @@ class AutoDistributed:
             occ = lax.psum(occ_local, "d")
             return tuple(outs) + (occ,)
 
-        self._step = jax.jit(step)
+        self._step = jax.jit(sparse_step if sparse else step)
 
     def __call__(self):
         args = [self._shard(self.store.columns[nm]) for nm in self.fact_loads]
@@ -259,21 +303,44 @@ class AutoDistributed:
                  for nm in self.dim_loads]
         counts = jnp.asarray([self.fact_count], jnp.int64)
         outs = self._step(*args, counts)
-        dense_list, occ = outs[:-1], outs[-1]
 
-        occ_np = np.asarray(occ)
-        sel = np.nonzero(occ_np > 0)[0]
-        ngroups = len(sel)
         c = Compiler(self.cfg, self.store)
         c.memo, c.group_cache, c.join_cache = {}, {}, {}
-        c.tables = {}
-        for f, dense in zip(self.folds, dense_list):
-            L_out = min(self.domain, f.info.count)
-            buf = np.zeros(L_out, dtype=np.asarray(dense).dtype)
-            take = np.asarray(dense)[sel[:L_out]]
-            buf[:len(take)] = take
-            c.memo[f.skey] = Val(data=jnp.asarray(buf), valid=ngroups,
-                                 length=L_out)
+        # the group-level stage may gather representative columns through
+        # fold-produced masks (Q10's key outputs); bind every referenced
+        # column for the host-side combine
+        from ..engine.lower import _all_loads
+
+        c.tables = {vx.name: jnp.asarray(self.store.columns[vx.name])
+                    for vx in _all_loads(self.vexps)
+                    if vx.name in self.store.columns}
+        if self.sparse:
+            gk = np.asarray(outs[0]).reshape(-1)
+            overflow = int(np.asarray(outs[1]).sum())
+            if overflow:
+                raise RuntimeError(
+                    f"shuffle bucket overflow ({overflow} partials)")
+            keep = gk < 2**62
+            ngroups = int(keep.sum())
+            for f, dense in zip(self.folds, outs[2:]):
+                flat = np.asarray(dense).reshape(-1)[keep]
+                L_out = min(f.info.count, len(np.asarray(dense).reshape(-1)))
+                buf = np.zeros(L_out, dtype=flat.dtype)
+                buf[:ngroups] = flat[:L_out]
+                c.memo[f.skey] = Val(data=jnp.asarray(buf), valid=ngroups,
+                                     length=L_out)
+        else:
+            dense_list, occ = outs[:-1], outs[-1]
+            occ_np = np.asarray(occ)
+            sel = np.nonzero(occ_np > 0)[0]
+            ngroups = len(sel)
+            for f, dense in zip(self.folds, dense_list):
+                L_out = min(self.domain, f.info.count)
+                buf = np.zeros(L_out, dtype=np.asarray(dense).dtype)
+                take = np.asarray(dense)[sel[:L_out]]
+                buf[:len(take)] = take
+                c.memo[f.skey] = Val(data=jnp.asarray(buf), valid=ngroups,
+                                     length=L_out)
         vals = [c._force(c.eval(v)) for v in self.vexps]
         cols = []
         for v, val in zip(self.vexps, vals):

@@ -22,7 +22,7 @@ def dist_setup():
     return store, cfg, mesh
 
 
-@pytest.mark.parametrize("q", ["06", "01", "04", "05", "08", "12", "14", "19"])
+@pytest.mark.parametrize("q", ["06", "01", "03", "04", "05", "08", "09", "10", "12", "14", "19"])
 def test_auto_distributed_matches_single_chip(dist_setup, q):
     from mplan2vdl_tpu import mplan, passes, vir
     from mplan2vdl_tpu.engine.lower import CompiledQuery
@@ -40,7 +40,7 @@ def test_auto_distributed_matches_single_chip(dist_setup, q):
     try:
         dq = auto.distribute(cfg, store, vexps, mesh)
     except auto.NotDistributable as e:
-        assert q not in ("06", "01", "05", "19"), \
+        assert q not in ("06", "01", "03", "05", "09", "10", "19"), \
             f"{q} must distribute: {e}"
         pytest.skip(f"not distributable: {e}")
     dist_cols = dq()
@@ -54,13 +54,13 @@ def test_auto_distributed_matches_single_chip(dist_setup, q):
     assert got == want
 
 
-def test_sparse_domain_reports_not_distributable(dist_setup):
+def test_equijoin_reports_not_distributable(dist_setup):
     from mplan2vdl_tpu import mplan, passes, vir
     from mplan2vdl_tpu.fe import lexer, plan_parser
     from mplan2vdl_tpu.parallel import auto
 
     store, cfg, mesh = dist_setup
-    with open(os.path.join(TPCH10, "03.sql.mplan")) as f:
+    with open(os.path.join(TPCH10, "17.sql.mplan")) as f:
         text = f.read()
     rel = plan_parser.parse(lexer.strip_plan_comments(text))
     m = mplan.fuse_selects(mplan.push_fk_joins(
