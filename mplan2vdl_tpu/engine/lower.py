@@ -203,8 +203,13 @@ class Compiler:
             b = self._force(self.eval(vx.fdata))
             L = b.length
             mask = b.data != 0
-            (sel,) = jnp.nonzero(mask, size=L, fill_value=0)
-            nz = jnp.sum(mask.astype(jnp.int64))
+            # compaction without scatter: XLA's nonzero lowers to a scatter,
+            # which TPU executes serially; cumsum + vectorized binary search
+            # stays parallel (log L gather passes)
+            cs = jnp.cumsum(mask.astype(jnp.int32))
+            nz = cs[-1].astype(jnp.int64) if L else jnp.int64(0)
+            targets = jnp.arange(1, L + 1, dtype=jnp.int32)
+            sel = jnp.searchsorted(cs, targets, side="left")
             sel = _mask_tail(sel.astype(dt), nz, L)
             return Val(data=sel, valid=nz, length=L)
 
