@@ -131,7 +131,10 @@ class GAvg:
 
 @dataclass(frozen=True)
 class GCount:
-    pass
+    # count(col) keeps the column so null-aware counting can consult its
+    # validity (SQL semantics; the reference counts rows regardless,
+    # Mplan.hs:175-180)
+    col: Optional[Name] = None
 
 
 @dataclass(frozen=True)
@@ -436,7 +439,7 @@ def _solve_group_output(cfg: Config, e: P.Expr) -> Tuple[GroupAgg, Optional[Name
     if isinstance(inner, P.Call):
         fname = inner.fname
         if fname == ("count",) and len(inner.args) == 0:
-            return GCount(), e.alias
+            return GCount(None), e.alias
         if len(inner.args) == 1:
             arg = inner.args[0].expr
             sub = rsc(cfg, arg)
@@ -449,9 +452,9 @@ def _solve_group_output(cfg: Config, e: P.Expr) -> Tuple[GroupAgg, Optional[Name
             if fname == ("min",):
                 return GFold(FMIN, sub), e.alias
             if fname == ("count",) and isinstance(arg, P.Ref):
-                # count(col): treated as count(*) — nulls are out of scope
-                # (reference caveat, Mplan.hs:175-180)
-                return GCount(), e.alias
+                # count(col): null-aware when the column carries an
+                # outer-join validity mask; count(*) otherwise
+                return GCount(arg.name), e.alias
     raise LowerError(f"unexpected group-by output expression: {e}")
 
 

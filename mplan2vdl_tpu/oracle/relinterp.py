@@ -12,7 +12,8 @@ inherited from the reference):
   * year() uses the approximation ((days*1000)+1100)/365243
     (Vlite.hs:988-994; exact within 1992-1997)
   * avg = trunc(sum / count) on scaled ints (Vlite.hs:1038-1041)
-  * count(col) counts rows (null tracking is out of scope, Mplan.hs:175-180)
+  * count(col) is null-aware for outer-join columns (an extension
+    over the reference, which always counts rows, Mplan.hs:175-180)
 """
 
 from __future__ import annotations
@@ -39,9 +40,16 @@ def tdiv(a, b):
 
 @dataclass
 class Frame:
-    """An operator's output: named columns, all the same length."""
+    """An operator's output: named columns, all the same length.
+    ``nullmasks`` maps a column name to its validity vector (outer-join
+    nullability; rows with 0 are SQL NULL)."""
 
     cols: List[Tuple[Optional[Name], np.ndarray]]
+    nullmasks: Dict[Name, np.ndarray] = None
+
+    def __post_init__(self):
+        if self.nullmasks is None:
+            self.nullmasks = {}
 
     @property
     def n(self) -> int:
@@ -58,7 +66,8 @@ class Frame:
         return self.scope().lookup(n)[1]
 
     def take(self, idx: np.ndarray) -> "Frame":
-        return Frame([(nm, arr[idx]) for nm, arr in self.cols])
+        return Frame([(nm, arr[idx]) for nm, arr in self.cols],
+                     {k: v[idx] for k, v in self.nullmasks.items()})
 
 
 class Interp:
@@ -285,7 +294,17 @@ class Interp:
                 val = _tag(np.asarray(val), dt)
                 out.append((nm, val))
                 dts.append((nm, dt))
-            frame = Frame(out)
+            masks = {}
+            for (expr, nm), (_, arr) in zip(r.projectout, out):
+                if (nm is not None and isinstance(expr, M.MRef)
+                        and expr.name in child.nullmasks):
+                    masks[nm] = child.nullmasks[expr.name]
+                elif (nm is not None and isinstance(expr, M.MRef)):
+                    hit = [k for k in child.nullmasks
+                           if k[-len(expr.name):] == expr.name]
+                    if hit:
+                        masks[nm] = child.nullmasks[hit[0]]
+            frame = Frame(out, masks)
             if r.order:
                 scope = Frame(child.cols + out)
                 keys = []
@@ -391,7 +410,17 @@ class Interp:
                                 hit[1]))
                     continue
             if isinstance(agg, M.GCount):
-                val = np.bincount(inv, minlength=ng).astype(np.int64)
+                mask_arr = None
+                if agg.col is not None:
+                    hit = [k for k in child.nullmasks
+                           if k[-len(agg.col):] == agg.col]
+                    if hit:
+                        mask_arr = child.nullmasks[hit[0]]
+                if mask_arr is not None:
+                    val = np.zeros(ng, dtype=np.int64)
+                    np.add.at(val, inv, mask_arr.astype(np.int64))
+                else:
+                    val = np.bincount(inv, minlength=ng).astype(np.int64)
                 dt = DDecimal(0)
                 nm = alias
             elif isinstance(agg, M.GAvg):
@@ -489,14 +518,21 @@ class Interp:
             matched = np.unique(li)
             unmatched = np.setdiff1d(np.arange(lf.n), matched)
             cols = []
+            masks = {}
             for nm, arr in lf.cols:
-                pad = np.zeros(len(unmatched), dtype=arr.dtype)
                 cols.append((nm, _keep(arr, np.concatenate([arr[li],
                                                             arr[unmatched]]))))
+                if nm in lf.nullmasks:
+                    masks[nm] = np.concatenate(
+                        [lf.nullmasks[nm][li], lf.nullmasks[nm][unmatched]])
+            valid = np.concatenate([np.ones(len(li), np.int64),
+                                    np.zeros(len(unmatched), np.int64)])
             for nm, arr in rf.cols:
                 pad = np.zeros(len(unmatched), dtype=np.int64)
                 cols.append((nm, _keep(arr, np.concatenate([arr[ri], pad]))))
-            return Frame(cols)
+                if nm is not None:
+                    masks[nm] = valid
+            return Frame(cols, masks)
         raise ValueError(r.joinvariant)
 
 

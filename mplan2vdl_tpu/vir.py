@@ -196,6 +196,10 @@ class Vexp:
     skey: int  # structural hash-cons key; clones (renames) keep it
     quant: str = ANY
     comment: str = ""
+    # validity mask for nullable columns (set by outer joins; rows where
+    # the mask is 0 are SQL NULL).  Metadata only — the data itself holds
+    # 0 in null slots, matching the engine padding convention.
+    nullmask: Optional["Vexp"] = None
 
     # equality/hash by structural key, mirroring the reference's memoized
     # sha1 identity (Vlite.hs:152-157): renamed clones compare equal.
@@ -762,6 +766,8 @@ def solve_prime(cfg: Config, r: M.RelExpr) -> List[Vexp]:
         out = []
         for col in env.cols:
             sel = gather(col, idx)
+            if col.nullmask is not None:
+                sel = sel.with_(nullmask=gather(col.nullmask, idx))
             out.append(sel.with_(name=col.name))
         return out
 
@@ -790,8 +796,15 @@ def solve_prime(cfg: Config, r: M.RelExpr) -> List[Vexp]:
 
 
 def gather_all(cols: List[Vexp], shpos: Vexp) -> List[Vexp]:
-    """Gather a group of columns, names preserved (Vlite.hs:1285-1288)."""
-    return [gather(c, shpos) for c in cols]
+    """Gather a group of columns, names (and null masks) preserved
+    (Vlite.hs:1285-1288)."""
+    out = []
+    for c in cols:
+        g = gather(c, shpos)
+        if c.nullmask is not None:
+            g = g.with_(nullmask=gather(c.nullmask, shpos))
+        out.append(g)
+    return out
 
 
 def _solve_project(cfg: Config, r: M.RProject) -> List[Vexp]:
@@ -973,6 +986,13 @@ def solve_agg(cfg: Config, env: Env, after_env: Env, gkey: Vexp,
         gcounts = solve_agg(cfg, env, after_env, gkey, M.GCount())
         return div_(gsums, gcounts)
     if isinstance(agg, M.GCount):
+        if agg.col is not None:
+            hit = env.table.lookup_opt(agg.col)
+            if hit is not None and hit[1].nullmask is not None:
+                # null-aware count(col): sum the validity mask
+                ids = _group_ids(gkey)
+                return complete(Fold(foldop=FSUM, fgroups=ids,
+                                     fdata=hit[1].nullmask))
         return solve_agg(cfg, env, after_env, gkey,
                          M.GFold(M.FSUM, M.MLiteral(DDecimal(0), 1)))
     assert isinstance(agg, M.GFold)
@@ -1456,9 +1476,9 @@ def _solve_equi_join(cfg: Config, r: M.RJoin, sleft: Env,
         valid = complete(JoinIndex(lkeys=lkey, rkeys=rkey,
                                    jside=JOUTER_VALID))
         lcols = gather_all(sleft.cols, li)
-        # unmatched rows read right columns as 0 (null tracking is future
-        # work, matching the reference's caveat, src/notes.txt:60-63)
-        rcols = [mul_(g, valid).with_(name=g.name)
+        # unmatched rows read right columns as 0, and each right column
+        # carries the join validity as its null mask (null-aware count)
+        rcols = [mul_(g, valid).with_(name=g.name, nullmask=valid)
                  for g in gather_all(sright.cols, ri)]
         if others:
             raise VirError("left outer join with non-equality conditions")
