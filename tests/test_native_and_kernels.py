@@ -79,3 +79,22 @@ def test_explain_smoke(tmp_path):
     txt = explain_vexps(vexps)
     assert "Fold FSum masked" in txt  # predication fired
     assert "Load lineitem.l_extendedprice" in txt
+
+
+def test_null_aware_count_q13_semantics():
+    """Customers with no orders must appear in Q13's c_count=0 group (SQL
+    semantics; the reference counts the null row as 1)."""
+    import jax
+
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.engine.lower import compile_plan_text
+
+    store = datagen.generate(sf=0.005, seed=9)
+    cfg = store.make_catalog()
+    with open("/root/reference/tests/tpch10noorder/13.sql.mplan") as f:
+        res = compile_plan_text(f.read(), cfg, store)()
+    rows = dict(zip(np.asarray(res.columns[0]).tolist(),
+                    np.asarray(res.columns[1]).tolist()))
+    orderless = len(set(range(1, store.table_count(("customer",)) + 1))
+                    - set(store.columns[("orders", "o_custkey")].tolist()))
+    assert rows.get(0, 0) == orderless
