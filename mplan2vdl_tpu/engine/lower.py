@@ -106,10 +106,15 @@ class Compiler:
     execution; SURVEY.md §7.3 risk 1)."""
 
     def __init__(self, cfg: Config, store: ColumnStore,
-                 join_sizes: Optional[Dict[tuple, int]] = None):
+                 join_sizes: Optional[Dict[tuple, int]] = None,
+                 fsel_sizes: Optional[Dict[int, int]] = None):
         self.cfg = cfg
         self.store = store
-        self.join_sizes = join_sizes or {}
+        # keep the CALLER's dict objects: the size-resolution loop fills
+        # them while this compiler is live (`or {}` would silently detach
+        # an initially-empty shared dict)
+        self.join_sizes = join_sizes if join_sizes is not None else {}
+        self.fsel_sizes = fsel_sizes if fsel_sizes is not None else {}
 
     # ------------------------------------------------------------------ trace
     def trace(self, vexps: List[V.Vexp], tables: Dict[Name, jnp.ndarray]
@@ -210,8 +215,12 @@ class Compiler:
             #   stable argsort of ~mask      3.4 ms  <- used
             sel = jnp.argsort(~mask, stable=True)
             nz = jnp.sum(mask.astype(jnp.int64))
-            sel = _mask_tail(sel.astype(dt), nz, L)
-            return Val(data=sel, valid=nz, length=L)
+            # the counting pre-pass shrinks the selection buffer to the
+            # actual survivor count, so every downstream gather runs at
+            # the real cardinality instead of the static bound
+            L_out = min(self.fsel_sizes.get(v.skey, L), L)
+            sel = _mask_tail(sel[:L_out].astype(dt), nz, L_out)
+            return Val(data=sel, valid=nz, length=L_out)
 
         if isinstance(vx, V.Fold):
             return self._eval_fold(v, vx)
@@ -580,17 +589,18 @@ class CompiledQuery:
         self.store = store
         self.loads = sorted({vx.name for vx in _all_loads(vexps)})
         self.join_sizes: Dict[tuple, int] = {}
+        self.fsel_sizes: Dict[int, int] = {}
         self._args = None
-        self._resolve_join_sizes()
+        self._resolve_dynamic_sizes()
         self._jitted = jax.jit(self._run)
 
     # ----------------------------------------------------- two-phase sizing
-    def _dynamic_join_pairs(self):
-        """(lkeys, rkeys, needs_outer) per distinct key pair, in dependency
-        (post-)order so nested joins resolve before their consumers."""
+    def _dynamic_nodes(self):
+        """Data-dependent-cardinality nodes (selection compactions and
+        join expansions) in dependency (post-)order."""
         seen_nodes = set()
-        pairs: Dict[tuple, list] = {}
-        order = []
+        out = []
+        join_keys = set()
 
         def go(v: V.Vexp):
             if v.skey in seen_nodes:
@@ -598,48 +608,66 @@ class CompiledQuery:
             seen_nodes.add(v.skey)
             for c in _children(v.vx):
                 go(c)
+            if isinstance(v.vx, V.Fold) and v.vx.foldop == V.FSEL:
+                out.append(("fsel", v))
             if isinstance(v.vx, V.JoinIndex) and v.vx.jside not in (
                     V.JSEMI, V.JANTI):
                 key = (v.vx.lkeys.skey, v.vx.rkeys.skey)
                 outer = v.vx.jside in (V.JOUTER_LEFT, V.JOUTER_RIGHT,
                                        V.JOUTER_VALID)
-                if key not in pairs:
-                    pairs[key] = [v.vx.lkeys, v.vx.rkeys, outer]
-                    order.append(key)
-                else:
-                    pairs[key][2] = pairs[key][2] or outer
+                if key not in join_keys:
+                    join_keys.add(key)
+                    out.append(("join", v))
+                elif outer:
+                    out.append(("join", v))  # re-resolve with outer count
 
         for v in self.vexps:
             go(v)
-        return [tuple(pairs[k]) for k in order]
+        return out
 
-    def _resolve_join_sizes(self):
-        dyn = self._dynamic_join_pairs()
+    def _resolve_dynamic_sizes(self):
+        """Counting pre-passes: resolve each selection's survivor count and
+        each join's match count against the live data, so the main program
+        compiles with real cardinalities instead of static bounds
+        (SURVEY.md §7.3 risk 1 — two-phase execution with exact shapes)."""
+        dyn = self._dynamic_nodes()
         if not dyn:
             return
         args = self.device_args()
         # the counting programs run eagerly (op-by-op): they execute once per
-        # (query, dataset), the arithmetic is tiny next to the main program,
-        # and per-op dispatch sidesteps a rare XLA:CPU fused-program stall
-        # observed under the test harness
+        # (query, dataset) and per-op dispatch sidesteps a rare XLA:CPU
+        # fused-program stall observed under the test harness
         with jax.disable_jit():
-            for lk, rk, outer in dyn:
-                tables = dict(zip(self.loads, args))
-                c = Compiler(self.cfg, self.store, self.join_sizes)
-                c.memo, c.group_cache, c.join_cache = {}, {}, {}
-                c.tables = tables
-                art = c._join_artifacts(lk, rk)
-                total = art["total"]
-                if outer:
-                    lidx = jnp.arange(art["n"], dtype=jnp.int64)
-                    lmask = lidx < jnp.asarray(art["lvalid"], jnp.int64)
-                    total = total + jnp.sum(
-                        ((art["cnt"] == 0) & lmask).astype(jnp.int64))
-                self.join_sizes[(lk.skey, rk.skey)] = max(int(total), 1)
+            c = Compiler(self.cfg, self.store, self.join_sizes,
+                         self.fsel_sizes)
+            c.memo, c.group_cache, c.join_cache = {}, {}, {}
+            c.tables = dict(zip(self.loads, args))
+            for kind, v in dyn:
+                if kind == "fsel":
+                    val = c.eval(v)
+                    nz = int(np.asarray(val.valid))
+                    self.fsel_sizes[v.skey] = max(nz, 1)
+                    # re-evaluate at the resolved size so downstream
+                    # counting sees the small buffers
+                    c.memo.pop(v.skey, None)
+                    c.fsel_sizes = self.fsel_sizes
+                    c.memo[v.skey] = c._eval(v)
+                else:
+                    vx = v.vx
+                    art = c._join_artifacts(vx.lkeys, vx.rkeys)
+                    total = art["total"]
+                    if vx.jside in (V.JOUTER_LEFT, V.JOUTER_RIGHT,
+                                    V.JOUTER_VALID):
+                        lidx = jnp.arange(art["n"], dtype=jnp.int64)
+                        lmask = lidx < jnp.asarray(art["lvalid"], jnp.int64)
+                        total = total + jnp.sum(
+                            ((art["cnt"] == 0) & lmask).astype(jnp.int64))
+                    self.join_sizes[(vx.lkeys.skey, vx.rkeys.skey)] = \
+                        max(int(total), 1)
 
     def _run(self, table_arrays: Tuple[jnp.ndarray, ...]):
         tables = dict(zip(self.loads, table_arrays))
-        c = Compiler(self.cfg, self.store, self.join_sizes)
+        c = Compiler(self.cfg, self.store, self.join_sizes, self.fsel_sizes)
         vals = c.trace(self.vexps, tables)
         return tuple((v.data, jnp.asarray(v.valid, jnp.int64)) for v in vals)
 
@@ -719,14 +747,22 @@ def _children(vx: V.Vx) -> List[V.Vexp]:
 
 
 def compile_plan_text(text: str, cfg: Config, store: ColumnStore,
-                      cleanup: bool = True) -> CompiledQuery:
-    """mplan text -> CompiledQuery (the ``compile`` driver, MainFuns.hs:172-188)."""
+                      cleanup: bool = True,
+                      push_joins: bool = False) -> CompiledQuery:
+    """mplan text -> CompiledQuery (the ``compile`` driver, MainFuns.hs:172-188).
+
+    ``push_joins`` mirrors the reference's optional ``-p`` rewrite
+    (MainFuns.hs default False).  It hoists selects above FK joins — which
+    the lineage-based join classification does not need, and which forces
+    join gathers to run at pre-filter width — so the engine defaults to
+    filter-early plans."""
     from ..fe import lexer, plan_parser
     from .. import mplan, passes, vir
 
     rel = plan_parser.parse(lexer.strip_plan_comments(text))
     m = mplan.mplan_from_parse_tree(rel, cfg)
-    m = mplan.fuse_selects(mplan.push_fk_joins(m))
+    if push_joins:
+        m = mplan.fuse_selects(mplan.push_fk_joins(m))
     vexps = vir.vexps_from_mplan(m, cfg)
     if cleanup:
         vexps = passes.engine_passes(vexps)
