@@ -149,7 +149,14 @@ def cmd_run(args):
     cfg = store.make_catalog(cross_product=args.use_cross_product)
     text = open(args.plan).read() if args.plan != "-" else sys.stdin.read()
     cq = compile_plan_text(text, cfg, store)
-    res = cq()
+    if getattr(args, "profile", None):
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            res = cq()
+        print(f"# profiler trace written to {args.profile}", file=sys.stderr)
+    else:
+        res = cq()
     if args.decode:
         cols = res.decoded(store)
     else:
@@ -192,6 +199,8 @@ def main(argv=None):
     pr.add_argument("--decode", action="store_true",
                     help="decode dictionary codes / dates / decimals")
     pr.add_argument("--use-cross-product", action="store_true")
+    pr.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler trace of the run")
     pr.set_defaults(fn=cmd_run)
 
     args = ap.parse_args(argv)

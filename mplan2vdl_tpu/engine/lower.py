@@ -474,7 +474,22 @@ class Compiler:
             run_id = jnp.cumsum(head.astype(jnp.int64)) - 1
             run_ok = jnp.where(sorted_valid, run_id, L_out)
             ngroups = jnp.sum((head & sorted_valid).astype(jnp.int64))
-            art.update(dense=False, perm=perm, run_ok=run_ok, ngroups=ngroups)
+            # run-start positions (ascending) and per-run end positions —
+            # the scatter-free segmented-reduce machinery: sums become
+            # cumsum differences at run ends, choose reads run starts,
+            # min/max use a log-sweep segmented prefix
+            starts = jnp.argsort(~head, stable=True)[:L_out]
+            next_start = jnp.concatenate(
+                [starts[1:], jnp.full((1,), n, starts.dtype)])
+            kidx = jnp.arange(L_out, dtype=jnp.int64)
+            ends = jnp.where(kidx + 1 < ngroups, next_start - 1, 0)
+            last_valid = jnp.sum(sorted_valid.astype(jnp.int64)) - 1
+            ends = jnp.where(kidx + 1 == ngroups, last_valid, ends)
+            run_start_of_row = starts[jnp.clip(run_ok, 0, L_out - 1)]
+            art.update(dense=False, perm=perm, run_ok=run_ok,
+                       ngroups=ngroups, starts=starts, ends=ends,
+                       sorted_valid=sorted_valid,
+                       run_start_of_row=run_start_of_row)
         self.group_cache[key] = art
         return art
 
@@ -500,14 +515,34 @@ class Compiler:
             # occupancy compaction drops those slots
             out = agg[art["sel"]]
         else:
-            segop = {V.FSUM: jax.ops.segment_sum,
-                     V.FMAX: jax.ops.segment_max,
-                     V.FMIN: jax.ops.segment_min,
-                     V.FCHOOSE: jax.ops.segment_max}[vx.foldop]
-            sorted_data = data[art["perm"]]
-            agg = segop(sorted_data, art["run_ok"],
-                        num_segments=L_out + 1)[:L_out]
-            out = agg
+            sorted_data = _mask_tail(data[art["perm"]],
+                                     jnp.sum(art["sorted_valid"]
+                                             .astype(jnp.int64)), n)
+            kidx = jnp.arange(L_out, dtype=jnp.int64)
+            kmask = kidx < art["ngroups"]
+            if vx.foldop == V.FSUM:
+                cs = jnp.cumsum(sorted_data.astype(jnp.int64))
+                at_end = cs[jnp.clip(art["ends"], 0, n - 1)]
+                start_idx = jnp.clip(art["starts"], 0, n - 1)
+                before = jnp.where(start_idx > 0,
+                                   cs[jnp.clip(start_idx - 1, 0, n - 1)], 0)
+                out = jnp.where(kmask, at_end - before, 0)
+            elif vx.foldop == V.FCHOOSE:
+                out = jnp.where(
+                    kmask, sorted_data[jnp.clip(art["starts"], 0, n - 1)], 0)
+            else:  # FMIN / FMAX: segmented prefix via log-sweep
+                combine = jnp.minimum if vx.foldop == V.FMIN else jnp.maximum
+                pm = sorted_data.astype(jnp.int64)
+                pos = jnp.arange(n, dtype=jnp.int64)
+                rs = art["run_start_of_row"]
+                shift = 1
+                while shift < n:
+                    prev_vals = jnp.concatenate(
+                        [jnp.zeros((shift,), pm.dtype), pm[:-shift]])
+                    ok = pos - shift >= rs
+                    pm = jnp.where(ok, combine(pm, prev_vals), pm)
+                    shift *= 2
+                out = jnp.where(kmask, pm[jnp.clip(art["ends"], 0, n - 1)], 0)
         ngroups = art["ngroups"]
         out = _mask_tail(out.astype(dt), ngroups, L_out)
         return Val(data=out, valid=ngroups, length=L_out)

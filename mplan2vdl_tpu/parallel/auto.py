@@ -203,7 +203,7 @@ class AutoDistributed:
         from .shuffle_agg import _SENT, shard_shuffle_combine
 
         per_owner = -(-domain // n_dev_)
-        cap = 2 * (shard_rows // n_dev_) + 64
+        cap = getattr(self, "cap", None) or 2 * (shard_rows // n_dev_) + 64
         self.cap = cap
         fold_ops = tuple({V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
                           V.FCHOOSE: "max"}[f.vx.foldop] for f in folds_)
@@ -318,8 +318,17 @@ class AutoDistributed:
             gk = np.asarray(outs[0]).reshape(-1)
             overflow = int(np.asarray(outs[1]).sum())
             if overflow:
-                raise RuntimeError(
-                    f"shuffle bucket overflow ({overflow} partials)")
+                # skew: some owner received more partials than the bucket
+                # capacity; rebuild with doubled capacity (bounded retries)
+                if getattr(self, "_cap_retries", 0) >= 3:
+                    raise RuntimeError(
+                        f"shuffle bucket overflow ({overflow} partials) "
+                        "after capacity retries — key distribution is "
+                        "pathologically skewed")
+                self._cap_retries = getattr(self, "_cap_retries", 0) + 1
+                self.cap = self.cap * 2
+                self.__post_init__()
+                return self()
             keep = gk < 2**62
             ngroups = int(keep.sum())
             for f, dense in zip(self.folds, outs[2:]):

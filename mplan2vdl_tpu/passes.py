@@ -238,6 +238,35 @@ def predication(vx: Vx) -> Optional[Vexp]:
                          fmask=mask))
 
 
+def gather_composition(vx: Vx) -> Optional[Vexp]:
+    """gather(gather(X, p1), p2) -> gather(X, gather(p1, p2)).
+
+    Join/select pipelines gather every column at every level; composing
+    the index vectors first means each column is fetched ONCE at final
+    cardinality, and the composed index CSEs across all columns of the
+    level (gathers cost ~7ns/element flat on TPU, so halving gather
+    traffic halves join cost)."""
+    if (isinstance(vx, Shuffle) and vx.shop == GATHER
+            and isinstance(vx.shsource.vx, Shuffle)
+            and vx.shsource.vx.shop == GATHER
+            and vx.shshape is None and vx.shsource.vx.shshape is None):
+        inner = vx.shsource.vx
+        composed = complete(Shuffle(shop=GATHER, shsource=inner.shpos,
+                                    shpos=vx.shpos))
+        return complete(Shuffle(shop=GATHER, shsource=inner.shsource,
+                                shpos=composed))
+    return None
+
+
+def gather_composition_pass(vs: List[Vexp]) -> List[Vexp]:
+    for _ in range(8):
+        new = xform(gather_composition, vs)
+        if [v.skey for v in new] == [v.skey for v in vs]:
+            return new
+        vs = new
+    return vs
+
+
 def predication_pass(vs: List[Vexp]) -> List[Vexp]:
     """Apply predication to a fixpoint (stacked selects peel one gather
     level per iteration)."""
@@ -252,9 +281,9 @@ def predication_pass(vs: List[Vexp]) -> List[Vexp]:
 def engine_passes(vs: List[Vexp]) -> List[Vexp]:
     """Cleanup pipeline for the TPU engine (MainFuns.hs:184-186 minus the
     Max/Min lowering, which the engine executes natively), plus the
-    predication rewrite for filter+aggregate chains."""
-    return predication_pass(algebraic_identities_pass(
-        redundant_range_pass(vs)))
+    predication and gather-composition rewrites."""
+    return gather_composition_pass(predication_pass(
+        algebraic_identities_pass(redundant_range_pass(vs))))
 
 
 def reference_passes(vs: List[Vexp]) -> List[Vexp]:
