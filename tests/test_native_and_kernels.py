@@ -98,3 +98,21 @@ def test_null_aware_count_q13_semantics():
     orderless = len(set(range(1, store.table_count(("customer",)) + 1))
                     - set(store.columns[("orders", "o_custkey")].tolist()))
     assert rows.get(0, 0) == orderless
+
+
+def test_cli_smoke(tmp_path, capsys):
+    from mplan2vdl_tpu import cli
+
+    B = "/root/reference/tests/tpch10noorder"
+    meta = ["-b", f"{B}/bounds.csv", "-t", f"{B}/storage.csv",
+            "-s", f"{B}/schema.msqldump", "--dictionary",
+            f"{B}/dictionary.csv"]
+    cli.main(["compile", f"{B}/06.sql.mplan"] + meta)
+    out = capsys.readouterr().out
+    assert "MaterializeCompact" in out and "FoldSum" in out
+    cli.main(["compile", f"{B}/06.sql.mplan"] + meta + ["--vliteformat"])
+    assert ",Output,decimal_4," in capsys.readouterr().out
+    cli.main(["explain", f"{B}/06.sql.mplan"] + meta)
+    assert "Fold FSum" in capsys.readouterr().out
+    cli.main(["compile", f"{B}/03.sql.mplan"] + meta + ["--dot"])
+    assert "digraph" in capsys.readouterr().out
