@@ -71,8 +71,8 @@ def _collect_folds(vexps: List[V.Vexp]) -> List[V.Vexp]:
 
 
 def _subtree_scan(v: V.Vexp, fact_count: int = -1):
-    """(loads, flags) over a fold subtree."""
-    seen, loads = set(), []
+    """(loads, flags, fact_scatters) over a fold subtree."""
+    seen, loads, scatters = set(), [], {}
     flags = {"join": False, "sort": False, "fact_dim": False}
 
     def go(x: V.Vexp):
@@ -88,15 +88,47 @@ def _subtree_scan(v: V.Vexp, fact_count: int = -1):
         if (isinstance(x.vx, V.Shuffle) and x.vx.shop == V.SCATTER
                 and x.vx.shshape is not None
                 and x.vx.shshape.info.count == fact_count):
-            # a join treats the sharded fact table as its dimension side:
-            # the mask scatter needs the full fact domain (distributed fk
-            # join: ROADMAP)
+            # a join treats the sharded fact table as its dimension side
+            # (Q4's exists-semijoin marks orders rows from lineitem): the
+            # mask scatter targets the full fact domain, so it is computed
+            # at full width on every shard from replicated inputs and each
+            # shard slices its own row window
             flags["fact_dim"] = True
+            scatters[x.skey] = x
+        if (isinstance(x.vx, V.Shuffle) and x.vx.shop == V.GATHER
+                and x.vx.shsource.info.count == fact_count
+                and x.vx.shpos.info.count != fact_count):
+            # positions live in a REPLICATED frame (e.g. lineitem fk values
+            # indexing an orders-sized mask) and carry GLOBAL fact row ids:
+            # the shard's row window cannot serve this gather, so the whole
+            # node evaluates at full width; its output is replicated-frame
+            # and flows into shard-local compute unchanged
+            gfulls[x.skey] = x
         for c in _children(x.vx):
             go(c)
 
+    gfulls = {}
     go(v)
-    return loads, flags
+    return loads, flags, scatters, gfulls
+
+
+def _loads_under(*roots: V.Vexp):
+    """Every table column read anywhere under the given nodes."""
+    seen, out = set(), []
+
+    def go(x: V.Vexp):
+        if x.skey in seen:
+            return
+        seen.add(x.skey)
+        if isinstance(x.vx, V.Load):
+            out.append(x.vx.name)
+        for c in _children(x.vx):
+            go(c)
+
+    for r in roots:
+        if r is not None:
+            go(r)
+    return out
 
 
 class _ShardCompiler(Compiler):
@@ -109,9 +141,37 @@ class _ShardCompiler(Compiler):
         self.fact_count = fact_count
         self.memo, self.group_cache, self.join_cache = {}, {}, {}
         self.tables = shard_tables
+        self.scatter_skeys = frozenset()
+        self.replicate_skeys = frozenset()
+        self.full_tables = {}
+        self._full_c = None
+
+    def _full_eval(self, v: V.Vexp) -> Val:
+        """Evaluate a node at full width from replicated inputs (identical
+        on every shard) with a nested ordinary compiler."""
+        if self._full_c is None:
+            fc = Compiler(self.cfg, self.store)
+            fc.memo, fc.group_cache, fc.join_cache = {}, {}, {}
+            fc.tables = self.full_tables
+            self._full_c = fc
+        return self._full_c._force(self._full_c.eval(v))
+
+    def _full_width_window(self, v: V.Vexp) -> Val:
+        """Full-width eval of a fact-domain-sized scatter, sliced to this
+        shard's row window for fact-frame elementwise consumption."""
+        full = self._full_eval(v)
+        buf = jnp.zeros((self._padded,), full.data.dtype)
+        buf = buf.at[:full.length].set(full.data)
+        win = lax.dynamic_slice(buf, (self._start,), (self._shard_rows,))
+        return Val(data=_mask_tail(win, self.local_valid, self._shard_rows),
+                   valid=self.local_valid, length=self._shard_rows)
 
     def _eval(self, v: V.Vexp):
         vx = v.vx
+        if v.skey in self.scatter_skeys:
+            return self._full_width_window(v)
+        if v.skey in self.replicate_skeys:
+            return self._full_eval(v)
         if isinstance(vx, V.Load):
             arr = self.tables[vx.name]
             n = arr.shape[-1]
@@ -143,12 +203,19 @@ class AutoDistributed:
         if not folds:
             raise NotDistributable("no aggregate stage")
         g0 = folds[0].vx.fgroups
-        single_group = all(f.vx.fgroups.info.bounds == (0, 0) for f in folds)
-        if not single_group and any(f.vx.fgroups.skey != g0.skey
-                                    for f in folds):
-            raise NotDistributable("aggregates use different group keys")
         domain = g0.info.bounds[1] + 1
         self.sparse = domain > (1 << 20)
+        single_group = all(f.vx.fgroups.info.bounds == (0, 0) for f in folds)
+        same_keys = all(f.vx.fgroups.skey == g0.skey for f in folds)
+        # differing key EXPRESSIONS are fine when every fold maps rows into
+        # the same dense domain (Q12: the predicated fold keeps raw masked
+        # groups while unpredicated folds group compacted rows) — the
+        # per-fold occupancy vectors are cross-checked at runtime
+        self._check_occ = not single_group and not same_keys
+        if self._check_occ and (
+                self.sparse or any(f.vx.fgroups.info.bounds != g0.info.bounds
+                                   for f in folds)):
+            raise NotDistributable("aggregates use different group keys")
         if self.sparse:
             # the shuffle path combines every fold through one exchange, so
             # all folds must share the same row validity
@@ -160,22 +227,23 @@ class AutoDistributed:
         # the fact table carries the plan's row axis: its row count equals
         # the fold input length bound
         row_axis = folds[0].vx.fgroups.info.count
-        loads, tabs = [], set()
+        loads, tabs, scatters, gfulls = [], set(), {}, {}
         for f in folds:
-            ls, flags = _subtree_scan(f, row_axis)
+            ls, flags, scs, gfs = _subtree_scan(f, row_axis)
             if flags["join"]:
                 raise NotDistributable(
                     "general equijoin (distributed shuffle join: ROADMAP)")
             if flags["sort"]:
                 raise NotDistributable("ordered aggregate stage")
-            if flags["fact_dim"]:
-                raise NotDistributable(
-                    "fact table is a join's dimension side (distributed fk "
-                    "join: ROADMAP)")
+            scatters.update(scs)
+            gfulls.update(gfs)
             loads += ls
             tabs.update(nm[0] for nm in ls)
         if not tabs:
             raise NotDistributable("aggregate stage reads no table")
+        if scatters and self.sparse:
+            raise NotDistributable(
+                "fact-domain scatter in a sparse group-by")
 
         facts = {t for t in tabs
                  if self.store.table_count((t,)) == row_axis}
@@ -194,9 +262,24 @@ class AutoDistributed:
         self.loads = sorted(set(loads))
         self.fact_loads = [nm for nm in self.loads if nm[0] == self.fact]
         self.dim_loads = [nm for nm in self.loads if nm[0] != self.fact]
+        # fact columns read inside fact-domain scatter subtrees are ALSO
+        # needed at full width (replicated) for the per-shard full-width
+        # scatter evaluation; dim columns are replicated anyway
+        full_roots = [r for s in scatters.values()
+                      for r in (s.vx.shsource, s.vx.shpos, s.vx.shshape)]
+        full_roots += [g.vx.shsource for g in gfulls.values()]
+        full_roots += [g.vx.shpos for g in gfulls.values()]
+        self.extra_full = sorted(
+            {nm for nm in _loads_under(*full_roots)
+             if nm[0] == self.fact})
+        self.scatter_skeys = frozenset(scatters)
+        self.replicate_skeys = frozenset(gfulls)
 
         shard_rows, domain_, folds_ = self.shard_rows, self.domain, self.folds
         fact_loads, dim_loads = self.fact_loads, self.dim_loads
+        extra_full, scatter_keys_ = self.extra_full, self.scatter_skeys
+        replicate_keys_ = self.replicate_skeys
+        padded_ = self.padded
         cfg, store, fact_count = self.cfg, self.store, self.fact_count
         n_dev_ = self.mesh.devices.size
         sparse = self.sparse
@@ -208,21 +291,32 @@ class AutoDistributed:
         fold_ops = tuple({V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
                           V.FCHOOSE: "max"}[f.vx.foldop] for f in folds_)
 
-        in_specs = (P("d"),) * len(fact_loads) + (P(),) * len(dim_loads) \
+        nf, nd = len(fact_loads), len(dim_loads)
+        in_specs = (P("d"),) * nf + (P(),) * (nd + len(extra_full)) \
             + (P(),)
 
-        @partial(jax.shard_map, mesh=self.mesh, in_specs=tuple(in_specs),
-                 out_specs=(P("d"),) * (2 + len(folds_)), check_vma=False)
-        def sparse_step(*all_in):
-            arrays, counts = all_in[:-1], all_in[-1]
+        def make_shard_compiler(arrays, counts):
             local = {}
-            for nm, a in zip(fact_loads + dim_loads, arrays):
+            for nm, a in zip(fact_loads + dim_loads, arrays[:nf + nd]):
                 local[nm] = a.reshape(-1)
             shard = lax.axis_index("d")
             start = (shard * shard_rows).astype(jnp.int64)
             local_valid = jnp.clip(counts[0] - start, 0, shard_rows)
             c = _ShardCompiler(cfg, store, local_valid, local, fact_count)
             c._shard_rows = shard_rows
+            c.scatter_skeys = scatter_keys_
+            c.replicate_skeys = replicate_keys_
+            c.full_tables = {nm: a.reshape(-1) for nm, a in
+                             zip(dim_loads + extra_full, arrays[nf:])}
+            c._start = start
+            c._padded = padded_
+            return c
+
+        @partial(jax.shard_map, mesh=self.mesh, in_specs=tuple(in_specs),
+                 out_specs=(P("d"),) * (2 + len(folds_)), check_vma=False)
+        def sparse_step(*all_in):
+            arrays, counts = all_in[:-1], all_in[-1]
+            c = make_shard_compiler(arrays, counts)
             f0 = folds_[0].vx
             g = c._force(c.eval(f0.fgroups))
             nloc = g.length
@@ -246,16 +340,8 @@ class AutoDistributed:
                  out_specs=P(), check_vma=False)
         def step(*all_in):
             arrays, counts = all_in[:-1], all_in[-1]
-            local = {}
-            for nm, a in zip(fact_loads + dim_loads, arrays):
-                local[nm] = a.reshape(-1)
-            shard = lax.axis_index("d")
-            start = (shard * shard_rows).astype(jnp.int64)
-            local_valid = jnp.clip(counts[0] - start, 0, shard_rows)
-            c = _ShardCompiler(cfg, store, local_valid, local, fact_count)
-            c._shard_rows = shard_rows
-            outs = []
-            occ_local = None
+            c = make_shard_compiler(arrays, counts)
+            outs, occ_locals = [], []
             for f in folds_:
                 vx = f.vx
                 g = c._force(c.eval(vx.fgroups))
@@ -292,15 +378,16 @@ class AutoDistributed:
                         V.FMIN: partial(lax.pmin, axis_name="d"),
                         V.FCHOOSE: partial(lax.pmax, axis_name="d")}[vx.foldop]
                 outs.append(comb(dense))
-            occ = lax.psum(occ_local, "d")
-            return tuple(outs) + (occ,)
+                occ_locals.append(occ_local)
+            occs = tuple(lax.psum(o, "d") for o in occ_locals)
+            return tuple(outs) + occs
 
         self._step = jax.jit(sparse_step if sparse else step)
 
     def __call__(self):
         args = [self._shard(self.store.columns[nm]) for nm in self.fact_loads]
         args += [jnp.asarray(self.store.columns[nm])
-                 for nm in self.dim_loads]
+                 for nm in self.dim_loads + self.extra_full]
         counts = jnp.asarray([self.fact_count], jnp.int64)
         outs = self._step(*args, counts)
 
@@ -339,9 +426,17 @@ class AutoDistributed:
                 c.memo[f.skey] = Val(data=jnp.asarray(buf), valid=ngroups,
                                      length=L_out)
         else:
-            dense_list, occ = outs[:-1], outs[-1]
-            occ_np = np.asarray(occ)
-            sel = np.nonzero(occ_np > 0)[0]
+            k = len(self.folds)
+            dense_list, occ_list = outs[:k], outs[k:]
+            occ_np = [np.asarray(o) for o in occ_list]
+            if self._check_occ:
+                # folds used different key expressions over the same dense
+                # domain: sound only if they agree on which groups exist
+                pat0 = occ_np[0] > 0
+                if any(not np.array_equal(pat0, o > 0) for o in occ_np[1:]):
+                    raise NotDistributable(
+                        "folds disagree on occupied groups")
+            sel = np.nonzero(occ_np[-1] > 0)[0]
             ngroups = len(sel)
             for f, dense in zip(self.folds, dense_list):
                 L_out = min(self.domain, f.info.count)

@@ -193,7 +193,41 @@ def _ungather(v: Vexp, pos_skey: int, pos_src_len_ref: Vexp):
         return complete(type(vx)(**{**{f.name: getattr(vx, f.name)
                                        for f in __import__("dataclasses").fields(vx)},
                                     "ldata": inner}))
+    if isinstance(vx, Shuffle) and vx.shop == SCATTER:
+        # join-mask scatter whose TARGET is the compacted frame: its
+        # positions are compacted ranks routed through the rank map
+        # ``scatter(range_over(sel), sel)`` (deduce_masks' FK mask algebra,
+        # Vlite.hs:1248-1282).  Retarget to the RAW frame by scattering at
+        # the pre-rank positions.  Sound because the caller ANDs the
+        # result with the compaction predicate ``b``: writes that land on
+        # raw rows outside the selection are masked back off.
+        p = vx.shpos
+        if (isinstance(p.vx, Shuffle) and p.vx.shop == GATHER
+                and isinstance(p.vx.shsource.vx, Shuffle)
+                and p.vx.shsource.vx.shop == SCATTER
+                and isinstance(p.vx.shsource.vx.shsource.vx, RangeV)
+                and p.vx.shsource.vx.shsource.vx.rmin == 0
+                and p.vx.shsource.vx.shsource.vx.rstep == 1
+                and _subtree_has(p.vx.shsource.vx.shpos, pos_skey)):
+            return complete(Shuffle(shop=SCATTER, shsource=vx.shsource,
+                                    shpos=p.vx.shpos,
+                                    shshape=pos_src_len_ref))
     return None
+
+
+def _subtree_has(v: Vexp, skey: int, _seen=None) -> bool:
+    if _seen is None:
+        _seen = set()
+    if v.skey in _seen:
+        return False
+    _seen.add(v.skey)
+    if v.skey == skey:
+        return True
+    kids = [getattr(v.vx, f.name) for f in dataclasses.fields(v.vx)
+            if isinstance(getattr(v.vx, f.name), Vexp)]
+    if isinstance(v.vx, SortPerm):
+        kids += list(v.vx.keys)
+    return any(_subtree_has(c, skey, _seen) for c in kids)
 
 
 def _find_fsel_gather(v: Vexp):
@@ -282,8 +316,15 @@ def engine_passes(vs: List[Vexp]) -> List[Vexp]:
     """Cleanup pipeline for the TPU engine (MainFuns.hs:184-186 minus the
     Max/Min lowering, which the engine executes natively), plus the
     predication and gather-composition rewrites."""
-    return gather_composition_pass(predication_pass(
-        algebraic_identities_pass(redundant_range_pass(vs))))
+    vs = algebraic_identities_pass(redundant_range_pass(vs))
+    # alternate to a joint fixpoint: composing gather chains exposes the
+    # rank-map scatter idiom that predication's fmask retargeting matches
+    for _ in range(4):
+        new = gather_composition_pass(predication_pass(vs))
+        if [v.skey for v in new] == [v.skey for v in vs]:
+            break
+        vs = new
+    return vs
 
 
 def reference_passes(vs: List[Vexp]) -> List[Vexp]:
