@@ -53,6 +53,9 @@ class NotDistributable(Exception):
 
 
 def _collect_folds(vexps: List[V.Vexp]) -> List[V.Vexp]:
+    """INNERMOST aggregate folds: the row->group reduction boundary.
+    Outer folds over group-level frames (Q15's max-over-revenues) stay in
+    the host-side group stage, evaluated from the seeded inner results."""
     seen, folds = set(), {}
 
     def go(v: V.Vexp):
@@ -61,13 +64,25 @@ def _collect_folds(vexps: List[V.Vexp]) -> List[V.Vexp]:
         seen.add(v.skey)
         if isinstance(v.vx, V.Fold) and v.vx.foldop != V.FSEL:
             folds[v.skey] = v
-            return  # the fold subtree runs shard-side
         for c in _children(v.vx):
             go(c)
 
     for v in vexps:
         go(v)
-    return list(folds.values())
+
+    def has_nested(v: V.Vexp) -> bool:
+        stack, s2 = list(_children(v.vx)), set()
+        while stack:
+            x = stack.pop()
+            if x.skey in s2:
+                continue
+            s2.add(x.skey)
+            if isinstance(x.vx, V.Fold) and x.vx.foldop != V.FSEL:
+                return True
+            stack.extend(_children(x.vx))
+        return False
+
+    return [v for v in folds.values() if not has_nested(v)]
 
 
 def _subtree_scan(v: V.Vexp, fact_count: int = -1):
@@ -202,20 +217,29 @@ class AutoDistributed:
         folds = _collect_folds(self.vexps)
         if not folds:
             raise NotDistributable("no aggregate stage")
-        g0 = folds[0].vx.fgroups
+        # single-group folds (bounds (0,0): global sums like Q11's having
+        # threshold) coexist with one shared multi-group key; they reduce
+        # into slot 0 of the shared domain and seed a 1-row group frame
+        multi = [f for f in folds if f.vx.fgroups.info.bounds != (0, 0)]
+        g0 = (multi or folds)[0].vx.fgroups
         domain = g0.info.bounds[1] + 1
         self.sparse = domain > (1 << 20)
-        single_group = all(f.vx.fgroups.info.bounds == (0, 0) for f in folds)
-        same_keys = all(f.vx.fgroups.skey == g0.skey for f in folds)
+        same_keys = all(f.vx.fgroups.skey == g0.skey for f in multi)
         # differing key EXPRESSIONS are fine when every fold maps rows into
         # the same dense domain (Q12: the predicated fold keeps raw masked
         # groups while unpredicated folds group compacted rows) — the
         # per-fold occupancy vectors are cross-checked at runtime
-        self._check_occ = not single_group and not same_keys
+        self._check_occ = len(multi) > 0 and not same_keys
         if self._check_occ and (
                 self.sparse or any(f.vx.fgroups.info.bounds != g0.info.bounds
-                                   for f in folds)):
+                                   for f in multi)):
             raise NotDistributable("aggregates use different group keys")
+        if self.sparse and (len(multi) != len(folds) or not same_keys):
+            raise NotDistributable(
+                "sparse group-by with heterogeneous fold keys")
+        if any(f.vx.fgroups.info.count != folds[0].vx.fgroups.info.count
+               for f in folds):
+            raise NotDistributable("folds on different row frames")
         if self.sparse:
             # the shuffle path combines every fold through one exchange, so
             # all folds must share the same row validity
@@ -288,8 +312,23 @@ class AutoDistributed:
         per_owner = -(-domain // n_dev_)
         cap = getattr(self, "cap", None) or 2 * (shard_rows // n_dev_) + 64
         self.cap = cap
-        fold_ops = tuple({V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
-                          V.FCHOOSE: "max"}[f.vx.foldop] for f in folds_)
+        def _rowid_choose(f: V.Vexp) -> bool:
+            # FChoose whose data is the ROW INDEX itself (the
+            # representative-row pick of handle_gather_join): single-chip
+            # takes the FIRST row in row order, so the distributed combine
+            # must be min over GLOBAL row ids, not max over local ones
+            vx = f.vx
+            fd = vx.fdata.vx
+            return (vx.foldop == V.FCHOOSE and isinstance(fd, V.RangeV)
+                    and fd.rmin == 0 and fd.rstep == 1
+                    and fd.rref.info.count == fact_count
+                    and vx.fdata.info.bounds == (0, fact_count - 1))
+
+        rowid_ = tuple(_rowid_choose(f) for f in folds_)
+        fold_ops = tuple(
+            "min" if rid else {V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
+                               V.FCHOOSE: "max"}[f.vx.foldop]
+            for f, rid in zip(folds_, rowid_))
 
         nf, nd = len(fact_loads), len(dim_loads)
         in_specs = (P("d"),) * nf + (P(),) * (nd + len(extra_full)) \
@@ -327,9 +366,12 @@ class AutoDistributed:
                 valid = valid & (m.data[:nloc] != 0)
             keys = jnp.where(valid, g.data.astype(jnp.int64), _SENT)
             vals = []
-            for f in folds_:
+            for f, rid in zip(folds_, rowid_):
                 d = c._force(c.eval(f.vx.fdata))
-                vals.append(d.data[:nloc].astype(dtype_for(f.info)))
+                dv = d.data[:nloc].astype(dtype_for(f.info))
+                if rid:
+                    dv = dv + c._start.astype(dv.dtype)  # globalize row ids
+                vals.append(dv)
             gk, gvals, overflow = shard_shuffle_combine(
                 keys, vals, fold_ops, shard_rows, n_dev_, per_owner, cap)
             return (gk.reshape(1, -1),
@@ -342,7 +384,7 @@ class AutoDistributed:
             arrays, counts = all_in[:-1], all_in[-1]
             c = make_shard_compiler(arrays, counts)
             outs, occ_locals = [], []
-            for f in folds_:
+            for f, opname, rid in zip(folds_, fold_ops, rowid_):
                 vx = f.vx
                 g = c._force(c.eval(vx.fgroups))
                 d = c._force(c.eval(vx.fdata))
@@ -355,28 +397,27 @@ class AutoDistributed:
                     valid = valid & (m.data[:nloc] != 0)
                 ids = jnp.clip(g.data.astype(jnp.int64), 0, domain_ - 1)
                 ids_ok = jnp.where(valid, ids, domain_)
+                data = d.data[:nloc].astype(dt)
+                if rid:
+                    data = data + c._start.astype(dt)  # globalize row ids
                 if domain_ <= segred.SMALL_DOMAIN:
-                    opname = {V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
-                              V.FCHOOSE: "max"}[vx.foldop]
                     dense = segred.masked_group_reduce(
-                        d.data[:nloc].astype(dt), ids_ok, domain_, opname)
+                        data, ids_ok, domain_, opname)
                     occ_local = segred.group_counts(ids_ok, domain_)
                 else:
                     import jax.ops
 
-                    segop = {V.FSUM: jax.ops.segment_sum,
-                             V.FMAX: jax.ops.segment_max,
-                             V.FMIN: jax.ops.segment_min,
-                             V.FCHOOSE: jax.ops.segment_max}[vx.foldop]
-                    dense = segop(d.data[:nloc].astype(dt), ids_ok,
+                    segop = {"sum": jax.ops.segment_sum,
+                             "max": jax.ops.segment_max,
+                             "min": jax.ops.segment_min}[opname]
+                    dense = segop(data, ids_ok,
                                   num_segments=domain_ + 1)[:domain_]
                     occ_local = jax.ops.segment_sum(
                         valid.astype(jnp.int64), ids_ok,
                         num_segments=domain_ + 1)[:domain_]
-                comb = {V.FSUM: partial(lax.psum, axis_name="d"),
-                        V.FMAX: partial(lax.pmax, axis_name="d"),
-                        V.FMIN: partial(lax.pmin, axis_name="d"),
-                        V.FCHOOSE: partial(lax.pmax, axis_name="d")}[vx.foldop]
+                comb = {"sum": partial(lax.psum, axis_name="d"),
+                        "max": partial(lax.pmax, axis_name="d"),
+                        "min": partial(lax.pmin, axis_name="d")}[opname]
                 outs.append(comb(dense))
                 occ_locals.append(occ_local)
             occs = tuple(lax.psum(o, "d") for o in occ_locals)
@@ -432,13 +473,14 @@ class AutoDistributed:
             if self._check_occ:
                 # folds used different key expressions over the same dense
                 # domain: sound only if they agree on which groups exist
-                pat0 = occ_np[0] > 0
-                if any(not np.array_equal(pat0, o > 0) for o in occ_np[1:]):
+                pats = [o > 0 for f, o in zip(self.folds, occ_np)
+                        if f.vx.fgroups.info.bounds != (0, 0)]
+                if any(not np.array_equal(pats[0], p) for p in pats[1:]):
                     raise NotDistributable(
                         "folds disagree on occupied groups")
-            sel = np.nonzero(occ_np[-1] > 0)[0]
-            ngroups = len(sel)
-            for f, dense in zip(self.folds, dense_list):
+            for f, dense, occ in zip(self.folds, dense_list, occ_np):
+                sel = np.nonzero(occ > 0)[0]
+                ngroups = len(sel)
                 L_out = min(self.domain, f.info.count)
                 buf = np.zeros(L_out, dtype=np.asarray(dense).dtype)
                 take = np.asarray(dense)[sel[:L_out]]

@@ -22,7 +22,9 @@ def dist_setup():
     return store, cfg, mesh
 
 
-@pytest.mark.parametrize("q", ["06", "01", "03", "04", "05", "08", "09", "10", "12", "14", "19"])
+@pytest.mark.parametrize("q", ["01", "03", "04", "05", "06", "07", "08",
+                               "09", "10", "11", "12", "14", "15", "16",
+                               "18", "19", "20"])
 def test_auto_distributed_matches_single_chip(dist_setup, q):
     from mplan2vdl_tpu import mplan, passes, vir
     from mplan2vdl_tpu.engine.lower import CompiledQuery
@@ -40,8 +42,8 @@ def test_auto_distributed_matches_single_chip(dist_setup, q):
     try:
         dq = auto.distribute(cfg, store, vexps, mesh)
     except auto.NotDistributable as e:
-        assert q not in ("06", "01", "03", "04", "05", "09", "10", "12",
-                         "14", "19"), \
+        assert q not in ("01", "03", "04", "05", "06", "07", "09", "10",
+                         "11", "12", "14", "15", "16", "18", "19", "20"), \
             f"{q} must distribute: {e}"
         pytest.skip(f"not distributable: {e}")
     dist_cols = dq()
