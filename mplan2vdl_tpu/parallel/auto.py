@@ -16,12 +16,23 @@ the plan qualifies, runs the pre-aggregate stage fully distributed:
     (Vlite.hs:1173-1194)
   * the combined vectors are compacted to occupied groups and seeded into
     a fresh Compiler memo, which evaluates the remaining group-level
-    expressions (avg divisions, key reuse) unchanged
+    expressions (avg divisions, outer folds, key reuse) unchanged
 
-Disqualified (single-chip fallback): sparse group domains (> 2^20 —
-pending the shuffle-based distributed group-by), JoinIndex general
-equijoins (pending the distributed shuffle join), SortPerm ordering.
-Identity-keyed group-bys disqualify automatically via the domain bound.
+Frames that do not shard elementwise are routed through full-width
+evaluation (identical on every shard, from replicated columns):
+fact-domain mask scatters slice per-shard row windows; gathers whose
+positions live in replicated frames, and join right-key vectors,
+evaluate whole; equijoins probe shard-local left keys against the
+full right side, with join-expansion buffers sized by the single-chip
+counting pre-pass.  Fact ROW-POSITION values (representative-row picks,
+row-id group keys, rowid join keys) evaluate locally and are globalized
+by ``rstep * shard_start`` at the fold/join boundary; positions that
+leak through unrecognized shapes disqualify the plan.
+
+All 22 TPC-H noorder queries distribute row-exactly under this algebra
+(tests/test_auto_dist.py).  Disqualified (single-chip fallback): plans
+with no aggregate stage, SortPerm inside the aggregate stage, sparse
+(> 2^20) domains mixing heterogeneous fold keys/masks or scatters/joins.
 """
 
 from __future__ import annotations
@@ -85,46 +96,205 @@ def _collect_folds(vexps: List[V.Vexp]) -> List[V.Vexp]:
     return [v for v in folds.values() if not has_nested(v)]
 
 
-def _subtree_scan(v: V.Vexp, fact_count: int = -1):
-    """(loads, flags, fact_scatters) over a fold subtree."""
-    seen, loads, scatters = set(), [], {}
-    flags = {"join": False, "sort": False, "fact_dim": False}
+def _joins_under(v: V.Vexp):
+    seen, out = set(), []
 
     def go(x: V.Vexp):
         if x.skey in seen:
             return
         seen.add(x.skey)
-        if isinstance(x.vx, V.Load):
-            loads.append(x.vx.name)
         if isinstance(x.vx, V.JoinIndex):
-            flags["join"] = True
-        if isinstance(x.vx, V.SortPerm):
-            flags["sort"] = True
-        if (isinstance(x.vx, V.Shuffle) and x.vx.shop == V.SCATTER
-                and x.vx.shshape is not None
-                and x.vx.shshape.info.count == fact_count):
-            # a join treats the sharded fact table as its dimension side
-            # (Q4's exists-semijoin marks orders rows from lineitem): the
-            # mask scatter targets the full fact domain, so it is computed
-            # at full width on every shard from replicated inputs and each
-            # shard slices its own row window
-            flags["fact_dim"] = True
-            scatters[x.skey] = x
-        if (isinstance(x.vx, V.Shuffle) and x.vx.shop == V.GATHER
-                and x.vx.shsource.info.count == fact_count
-                and x.vx.shpos.info.count != fact_count):
-            # positions live in a REPLICATED frame (e.g. lineitem fk values
-            # indexing an orders-sized mask) and carry GLOBAL fact row ids:
-            # the shard's row window cannot serve this gather, so the whole
-            # node evaluates at full width; its output is replicated-frame
-            # and flows into shard-local compute unchanged
-            gfulls[x.skey] = x
+            out.append(x)
         for c in _children(x.vx):
             go(c)
 
-    gfulls = {}
     go(v)
-    return loads, flags, scatters, gfulls
+    return out
+
+
+def _contains_right_join(v: V.Vexp) -> bool:
+    seen = set()
+
+    def go(x: V.Vexp) -> bool:
+        if x.skey in seen:
+            return False
+        seen.add(x.skey)
+        if isinstance(x.vx, V.JoinIndex) and x.vx.jside in (
+                V.JRIGHT, V.JOUTER_RIGHT):
+            return True
+        return any(go(c) for c in _children(x.vx))
+
+    return go(v)
+
+
+def _rowid_chain(v: V.Vexp, fact_count: int):
+    """If this expression's VALUES are fact row positions reached through
+    a pure gather/partition chain from ``RangeV(rmin, rstep, RangeC_fact)``
+    (representative-row picks, row-id group keys), return ``rstep`` — the
+    per-row-position increment.  Shard-local evaluation yields LOCAL
+    positions; adding ``rstep * shard_start`` globalizes them.  None when
+    values are not row positions."""
+    vx = v.vx
+    if (isinstance(vx, V.RangeV) and vx.rstep != 0
+            and isinstance(vx.rref.vx, V.RangeC)
+            and vx.rref.vx.rcount == fact_count):
+        return vx.rstep
+    if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+        return _rowid_chain(vx.shsource, fact_count)
+    if isinstance(vx, V.Partition):
+        return _rowid_chain(vx.pdata, fact_count)
+    return None
+
+
+def _rowid_leaks(v: V.Vexp, fact_count: int, allow_chain: bool = True) -> bool:
+    """True if fact row-position VALUES flow into this expression through
+    anything other than the pure chain ``_rowid_chain`` recognises (e.g.
+    bit-packed composite keys): shard-local evaluation would mix local
+    positions across shards, which no single offset can repair."""
+    seen = set()
+
+    def go(x: V.Vexp, in_chain: bool) -> bool:
+        key = (x.skey, in_chain)
+        if key in seen:
+            return False
+        seen.add(key)
+        vx = x.vx
+        if (isinstance(vx, V.RangeV) and vx.rstep != 0
+                and isinstance(vx.rref.vx, V.RangeC)
+                and vx.rref.vx.rcount == fact_count):
+            return not in_chain
+        if isinstance(vx, V.Fold) and vx.foldop == V.FSEL:
+            return False  # selection vectors are index space, not values
+        if isinstance(vx, V.JoinIndex):
+            # probe keys that are rowid chains are globalized at the join
+            # (see _ShardCompiler); rkeys evaluate at full width where
+            # rowids are global already; join OUTPUTS are index space
+            return go(vx.lkeys, True)
+        if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+            # positions are index space (selection compositions); only the
+            # source carries values onward
+            return go(vx.shsource, in_chain)
+        if (isinstance(vx, V.Shuffle) and vx.shop == V.SCATTER
+                and vx.shshape is not None
+                and vx.shshape.info.count == fact_count):
+            return False  # full-eval region
+        if isinstance(vx, V.Partition):
+            return go(vx.pdata, in_chain)
+        return any(go(c, False) for c in _children(vx))
+
+    return go(v, allow_chain)
+
+
+def _plan_regions(folds, fact: str, fact_count: int):
+    """Classify each fold-subtree node's FRAME as shard-LOCAL (fact rows,
+    or frames derived from them: selections, join expansions of a local
+    probe) or REPLICATED (dim tables, and anything forced to full-width
+    evaluation), and assign full-width interception sets:
+
+      scatters   — fact-domain-sized scatters: evaluated at full width in
+                   the nested compiler, each shard slices its row window
+      replicate  — whole nodes evaluated at full width (gathers whose
+                   positions live in a replicated frame but index the fact
+                   domain; join right-key vectors; joins with replicated
+                   probes)
+      fullsrc    — gathers whose POSITIONS are local but whose VALUES
+                   index the full right frame of a join ('right' outputs):
+                   source evaluates full-width, positions locally
+
+    Raises NotDistributable for shapes the shard algebra cannot express.
+    """
+    scatters, replicate, fullsrc = {}, {}, {}
+    loc_memo = {}
+
+    def loc(v: V.Vexp) -> str:
+        r = loc_memo.get(v.skey)
+        if r is not None:
+            return r
+        vx = v.vx
+        if v.skey in replicate:
+            r = "R"
+        elif isinstance(vx, V.Load):
+            r = "L" if vx.name[0] == fact else "R"
+        elif isinstance(vx, V.RangeC):
+            r = "L" if vx.rcount == fact_count else "R"
+        elif isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+            r = loc(vx.shpos)
+        elif isinstance(vx, V.Shuffle) and vx.shop == V.SCATTER:
+            r = ("L" if (vx.shshape is not None
+                         and vx.shshape.info.count == fact_count) else "R")
+        elif isinstance(vx, V.JoinIndex):
+            r = loc(vx.lkeys)
+        elif isinstance(vx, V.Fold):
+            r = loc(vx.fdata)
+        else:
+            kids = _children(vx)
+            r = "L" if any(loc(c) == "L" for c in kids) else "R"
+        loc_memo[v.skey] = r
+        return r
+
+    seen = set()
+
+    def walk(x: V.Vexp):
+        if x.skey in seen:
+            return
+        seen.add(x.skey)
+        vx = x.vx
+        if isinstance(vx, V.SortPerm):
+            raise NotDistributable("ordered aggregate stage")
+        if isinstance(vx, V.Shuffle) and vx.shop == V.SCATTER:
+            if (vx.shshape is not None
+                    and vx.shshape.info.count == fact_count):
+                # fact-domain mask scatter (Q4's exists marks): full-width
+                # eval + per-shard window slice; subtree is full territory
+                scatters[x.skey] = x
+                return
+            if loc(vx.shsource) == "L" or loc(vx.shpos) == "L":
+                raise NotDistributable(
+                    "scatter from shard-local rows into a replicated frame")
+        if isinstance(vx, V.JoinIndex):
+            if loc(vx.lkeys) == "R":
+                # both sides replicated: the whole join is shard-invariant
+                replicate[x.skey] = x
+                return
+            if vx.lkeys.info.count != fact_count:
+                raise NotDistributable(
+                    "join probes a derived local frame (not fact rows)")
+            # local probe, full right side: rkeys evaluates at full width
+            replicate[vx.rkeys.skey] = vx.rkeys
+            walk(vx.lkeys)
+            return
+        if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+            sl, pl = loc(vx.shsource), loc(vx.shpos)
+            if sl == "L" and pl == "R":
+                if vx.shsource.info.count != fact_count:
+                    raise NotDistributable(
+                        "replicated-frame positions index a derived local "
+                        "frame")
+                # Q4: lineitem-frame fk values into an orders-sized mask —
+                # whole gather is replicated-frame
+                replicate[x.skey] = x
+                return
+            if (sl == "L" and pl == "L"
+                    and vx.shsource.info.count == fact_count
+                    and _contains_right_join(vx.shpos)):
+                # positions carry FULL right-frame ids (join 'right'
+                # outputs): gather from the full-width source
+                fullsrc[x.skey] = x
+                walk(vx.shpos)
+                return
+        for c in _children(vx):
+            walk(c)
+
+    for f in folds:
+        walk(f)
+    # full-width columns: every fact column read under a full-eval region
+    full_roots = [r for s in scatters.values()
+                  for r in (s.vx.shsource, s.vx.shpos, s.vx.shshape)]
+    full_roots += list(replicate.values())
+    full_roots += [g.vx.shsource for g in fullsrc.values()]
+    extra_full = sorted({nm for nm in _loads_under(*full_roots)
+                         if nm[0] == fact})
+    return scatters, replicate, fullsrc, extra_full
 
 
 def _loads_under(*roots: V.Vexp):
@@ -158,14 +328,17 @@ class _ShardCompiler(Compiler):
         self.tables = shard_tables
         self.scatter_skeys = frozenset()
         self.replicate_skeys = frozenset()
+        self.fullsrc_skeys = frozenset()
         self.full_tables = {}
+        self.full_fsel_sizes = {}
         self._full_c = None
 
     def _full_eval(self, v: V.Vexp) -> Val:
         """Evaluate a node at full width from replicated inputs (identical
         on every shard) with a nested ordinary compiler."""
         if self._full_c is None:
-            fc = Compiler(self.cfg, self.store)
+            fc = Compiler(self.cfg, self.store, self.join_sizes,
+                          self.full_fsel_sizes)
             fc.memo, fc.group_cache, fc.join_cache = {}, {}, {}
             fc.tables = self.full_tables
             self._full_c = fc
@@ -187,6 +360,15 @@ class _ShardCompiler(Compiler):
             return self._full_width_window(v)
         if v.skey in self.replicate_skeys:
             return self._full_eval(v)
+        if v.skey in self.fullsrc_skeys:
+            # positions are shard-local but their VALUES index the full
+            # right frame of a join ('right' outputs): full-width source
+            src = self._full_eval(vx.shsource)
+            pos = self._force(self.eval(vx.shpos))
+            dt = dtype_for(v.info)
+            p = jnp.clip(pos.data.astype(jnp.int64), 0, src.length - 1)
+            data = _mask_tail(src.data[p].astype(dt), pos.valid, pos.length)
+            return Val(data=data, valid=pos.valid, length=pos.length)
         if isinstance(vx, V.Load):
             arr = self.tables[vx.name]
             n = arr.shape[-1]
@@ -196,11 +378,27 @@ class _ShardCompiler(Compiler):
             return Val(data=arr, valid=n, length=n)
         if isinstance(vx, V.RangeC) and vx.rcount == self.fact_count:
             # the fact table's row-id range sizes to the shard
-            n = next(iter(self.tables.values())).shape[-1] \
-                if self.tables else vx.rcount
-            shard_rows = self._shard_rows
-            return Val(data=None, valid=self.local_valid, length=shard_rows,
+            return Val(data=None, valid=self.local_valid,
+                       length=self._shard_rows,
                        lazy_range=(vx.rmin, vx.rstep))
+        if isinstance(vx, V.JoinIndex):
+            # probe keys that are fact ROW POSITIONS (Q13 joins orders on
+            # the customer rowid) evaluate locally; globalize them for the
+            # probe only (the chain nodes keep their LOCAL values for
+            # selection-composition uses elsewhere)
+            og = _rowid_chain(vx.lkeys, self.fact_count)
+            if og:
+                lv = self._force(self.eval(vx.lkeys))
+                data = lv.data + (og * self._start).astype(lv.data.dtype)
+                prev = self.memo.get(vx.lkeys.skey)
+                self.memo[vx.lkeys.skey] = Val(
+                    data=_mask_tail(data, lv.valid, lv.length),
+                    valid=lv.valid, length=lv.length)
+                try:
+                    return super()._eval(v)
+                finally:
+                    self.memo[vx.lkeys.skey] = prev if prev is not None \
+                        else lv
         return super()._eval(v)
 
 
@@ -249,60 +447,68 @@ class AutoDistributed:
                 raise NotDistributable(
                     "sparse group-by with differing fold masks")
         # the fact table carries the plan's row axis: its row count equals
-        # the fold input length bound
+        # the fold input length bound; when the fold frame is a JOIN
+        # EXPANSION (Q13/Q17/Q2), the probe (left) side of that join
         row_axis = folds[0].vx.fgroups.info.count
-        loads, tabs, scatters, gfulls = [], set(), {}, {}
-        for f in folds:
-            ls, flags, scs, gfs = _subtree_scan(f, row_axis)
-            if flags["join"]:
-                raise NotDistributable(
-                    "general equijoin (distributed shuffle join: ROADMAP)")
-            if flags["sort"]:
-                raise NotDistributable("ordered aggregate stage")
-            scatters.update(scs)
-            gfulls.update(gfs)
-            loads += ls
-            tabs.update(nm[0] for nm in ls)
+        loads = sorted({nm for f in folds for nm in _loads_under(f)})
+        tabs = {nm[0] for nm in loads}
         if not tabs:
             raise NotDistributable("aggregate stage reads no table")
-        if scatters and self.sparse:
-            raise NotDistributable(
-                "fact-domain scatter in a sparse group-by")
-
+        joins = [x for f in folds for x in _joins_under(f)]
         facts = {t for t in tabs
                  if self.store.table_count((t,)) == row_axis}
+        fact_count = row_axis
+        if not facts and joins:
+            probes = {x.vx.lkeys.info.count for x in joins
+                      if x.info.count == row_axis}
+            if len(probes) == 1:
+                fact_count = next(iter(probes))
+                facts = {t for t in tabs
+                         if self.store.table_count((t,)) == fact_count}
         if len(facts) != 1:
             raise NotDistributable(
                 f"cannot identify a unique fact table among {tabs}")
         self.fact = next(iter(facts))
-        self.fact_count = row_axis
+        self.fact_count = fact_count
         self.folds = folds
         self.domain = domain
+
+        scatters, replicate, fullsrc, extra_full = _plan_regions(
+            folds, self.fact, fact_count)
+        if scatters and self.sparse:
+            raise NotDistributable(
+                "fact-domain scatter in a sparse group-by")
+        if joins and self.sparse:
+            raise NotDistributable("equijoin in a sparse group-by")
+        # join expansion / selection buffers need the GLOBAL resolved
+        # cardinalities as per-shard bounds; resolve via the single-chip
+        # counting pre-pass (TODO: distributed counting pass)
+        self.join_sizes, self.full_fsel_sizes = {}, {}
+        if joins:
+            from ..engine.lower import CompiledQuery
+
+            cq = CompiledQuery(self.cfg, self.vexps, self.store)
+            self.join_sizes = cq.join_sizes
+            self.full_fsel_sizes = cq.fsel_sizes
 
         n = self.fact_count
         n_dev = self.mesh.devices.size
         self.shard_rows = -(-n // n_dev)
         self.padded = self.shard_rows * n_dev
-        self.loads = sorted(set(loads))
+        self.loads = loads
         self.fact_loads = [nm for nm in self.loads if nm[0] == self.fact]
         self.dim_loads = [nm for nm in self.loads if nm[0] != self.fact]
-        # fact columns read inside fact-domain scatter subtrees are ALSO
-        # needed at full width (replicated) for the per-shard full-width
-        # scatter evaluation; dim columns are replicated anyway
-        full_roots = [r for s in scatters.values()
-                      for r in (s.vx.shsource, s.vx.shpos, s.vx.shshape)]
-        full_roots += [g.vx.shsource for g in gfulls.values()]
-        full_roots += [g.vx.shpos for g in gfulls.values()]
-        self.extra_full = sorted(
-            {nm for nm in _loads_under(*full_roots)
-             if nm[0] == self.fact})
+        self.extra_full = extra_full
         self.scatter_skeys = frozenset(scatters)
-        self.replicate_skeys = frozenset(gfulls)
+        self.replicate_skeys = frozenset(replicate)
+        self.fullsrc_skeys = frozenset(fullsrc)
 
         shard_rows, domain_, folds_ = self.shard_rows, self.domain, self.folds
         fact_loads, dim_loads = self.fact_loads, self.dim_loads
         extra_full, scatter_keys_ = self.extra_full, self.scatter_skeys
         replicate_keys_ = self.replicate_skeys
+        fullsrc_keys_ = self.fullsrc_skeys
+        join_sizes_, full_fsel_ = self.join_sizes, self.full_fsel_sizes
         padded_ = self.padded
         cfg, store, fact_count = self.cfg, self.store, self.fact_count
         n_dev_ = self.mesh.devices.size
@@ -312,19 +518,28 @@ class AutoDistributed:
         per_owner = -(-domain // n_dev_)
         cap = getattr(self, "cap", None) or 2 * (shard_rows // n_dev_) + 64
         self.cap = cap
-        def _rowid_choose(f: V.Vexp) -> bool:
-            # FChoose whose data is the ROW INDEX itself (the
-            # representative-row pick of handle_gather_join): single-chip
-            # takes the FIRST row in row order, so the distributed combine
-            # must be min over GLOBAL row ids, not max over local ones
-            vx = f.vx
-            fd = vx.fdata.vx
-            return (vx.foldop == V.FCHOOSE and isinstance(fd, V.RangeV)
-                    and fd.rmin == 0 and fd.rstep == 1
-                    and fd.rref.info.count == fact_count
-                    and vx.fdata.info.bounds == (0, fact_count - 1))
-
-        rowid_ = tuple(_rowid_choose(f) for f in folds_)
+        # fold-boundary row-id handling: shard-local evaluation yields
+        # LOCAL row positions for rowid-derived chains; the step adds
+        # rstep*shard_start.  Representative-row FChoose (single-chip
+        # takes the FIRST row in row order) combines with min over the
+        # globalized ids.  Row ids leaking through unrecognized shapes
+        # (composite bit-packs) disqualify.
+        off_g, off_d = [], []
+        for f in folds_:
+            og = _rowid_chain(f.vx.fgroups, fact_count)
+            if og is None and _rowid_leaks(f.vx.fgroups, fact_count):
+                raise NotDistributable("row-id values leak into group keys")
+            od = _rowid_chain(f.vx.fdata, fact_count)
+            if od is None and _rowid_leaks(f.vx.fdata, fact_count):
+                raise NotDistributable("row-id values leak into fold data")
+            if f.vx.fmask is not None and _rowid_leaks(
+                    f.vx.fmask, fact_count, allow_chain=False):
+                raise NotDistributable("row-id values inside a fold mask")
+            off_g.append(og)
+            off_d.append(od)
+        off_g, off_d = tuple(off_g), tuple(off_d)
+        rowid_ = tuple(od is not None and f.vx.foldop == V.FCHOOSE
+                       for f, od in zip(folds_, off_d))
         fold_ops = tuple(
             "min" if rid else {V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
                                V.FCHOOSE: "max"}[f.vx.foldop]
@@ -345,6 +560,9 @@ class AutoDistributed:
             c._shard_rows = shard_rows
             c.scatter_skeys = scatter_keys_
             c.replicate_skeys = replicate_keys_
+            c.fullsrc_skeys = fullsrc_keys_
+            c.join_sizes = join_sizes_
+            c.full_fsel_sizes = full_fsel_
             c.full_tables = {nm: a.reshape(-1) for nm, a in
                              zip(dim_loads + extra_full, arrays[nf:])}
             c._start = start
@@ -364,13 +582,16 @@ class AutoDistributed:
             if f0.fmask is not None:
                 m = c._force(c.eval(f0.fmask))
                 valid = valid & (m.data[:nloc] != 0)
-            keys = jnp.where(valid, g.data.astype(jnp.int64), _SENT)
+            gk0 = g.data.astype(jnp.int64)
+            if off_g[0]:
+                gk0 = gk0 + off_g[0] * c._start  # globalize row-id keys
+            keys = jnp.where(valid, gk0, _SENT)
             vals = []
-            for f, rid in zip(folds_, rowid_):
+            for f, od in zip(folds_, off_d):
                 d = c._force(c.eval(f.vx.fdata))
                 dv = d.data[:nloc].astype(dtype_for(f.info))
-                if rid:
-                    dv = dv + c._start.astype(dv.dtype)  # globalize row ids
+                if od:
+                    dv = dv + (od * c._start).astype(dv.dtype)
                 vals.append(dv)
             gk, gvals, overflow = shard_shuffle_combine(
                 keys, vals, fold_ops, shard_rows, n_dev_, per_owner, cap)
@@ -384,7 +605,7 @@ class AutoDistributed:
             arrays, counts = all_in[:-1], all_in[-1]
             c = make_shard_compiler(arrays, counts)
             outs, occ_locals = [], []
-            for f, opname, rid in zip(folds_, fold_ops, rowid_):
+            for f, opname, og, od in zip(folds_, fold_ops, off_g, off_d):
                 vx = f.vx
                 g = c._force(c.eval(vx.fgroups))
                 d = c._force(c.eval(vx.fdata))
@@ -395,11 +616,14 @@ class AutoDistributed:
                 if vx.fmask is not None:
                     m = c._force(c.eval(vx.fmask))
                     valid = valid & (m.data[:nloc] != 0)
-                ids = jnp.clip(g.data.astype(jnp.int64), 0, domain_ - 1)
+                gids = g.data.astype(jnp.int64)
+                if og:
+                    gids = gids + og * c._start  # globalize row-id keys
+                ids = jnp.clip(gids, 0, domain_ - 1)
                 ids_ok = jnp.where(valid, ids, domain_)
                 data = d.data[:nloc].astype(dt)
-                if rid:
-                    data = data + c._start.astype(dt)  # globalize row ids
+                if od:
+                    data = data + (od * c._start).astype(dt)
                 if domain_ <= segred.SMALL_DOMAIN:
                     dense = segred.masked_group_reduce(
                         data, ids_ok, domain_, opname)

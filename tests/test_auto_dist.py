@@ -1,6 +1,6 @@
-"""Automatic distributed execution: TPC-H Q1 and Q6 mplans run over the
-8-device mesh straight from the vector IR, matching the single-chip engine
-row-exactly."""
+"""Automatic distributed execution: ALL 22 TPC-H noorder mplans run over
+the 8-device mesh straight from the vector IR, matching the single-chip
+engine row-exactly."""
 
 import os
 
@@ -22,9 +22,7 @@ def dist_setup():
     return store, cfg, mesh
 
 
-@pytest.mark.parametrize("q", ["01", "03", "04", "05", "06", "07", "08",
-                               "09", "10", "11", "12", "14", "15", "16",
-                               "18", "19", "20"])
+@pytest.mark.parametrize("q", [f"{i:02d}" for i in range(1, 23)])
 def test_auto_distributed_matches_single_chip(dist_setup, q):
     from mplan2vdl_tpu import mplan, passes, vir
     from mplan2vdl_tpu.engine.lower import CompiledQuery
@@ -39,13 +37,7 @@ def test_auto_distributed_matches_single_chip(dist_setup, q):
         mplan.mplan_from_parse_tree(rel, cfg)))
     vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
 
-    try:
-        dq = auto.distribute(cfg, store, vexps, mesh)
-    except auto.NotDistributable as e:
-        assert q not in ("01", "03", "04", "05", "06", "07", "09", "10",
-                         "11", "12", "14", "15", "16", "18", "19", "20"), \
-            f"{q} must distribute: {e}"
-        pytest.skip(f"not distributable: {e}")
+    dq = auto.distribute(cfg, store, vexps, mesh)  # all 22 must qualify
     dist_cols = dq()
 
     single = CompiledQuery(cfg, vexps, store)()
@@ -57,13 +49,17 @@ def test_auto_distributed_matches_single_chip(dist_setup, q):
     assert got == want
 
 
-def test_equijoin_reports_not_distributable(dist_setup):
+def test_no_aggregate_reports_not_distributable(dist_setup):
+    """A pure projection/join plan has no aggregate stage to shard."""
     from mplan2vdl_tpu import mplan, passes, vir
+    from mplan2vdl_tpu.engine import datagen
     from mplan2vdl_tpu.fe import lexer, plan_parser
     from mplan2vdl_tpu.parallel import auto
 
-    store, cfg, mesh = dist_setup
-    with open(os.path.join(TPCH10, "17.sql.mplan")) as f:
+    _, _, mesh = dist_setup
+    store = datagen.generate(sf=0.002, seed=7, legacy_fk_names=True)
+    cfg = store.make_catalog()
+    with open("/root/reference/tests/simple/simplejoin.mplan") as f:
         text = f.read()
     rel = plan_parser.parse(lexer.strip_plan_comments(text))
     m = mplan.fuse_selects(mplan.push_fk_joins(
