@@ -75,6 +75,13 @@ class Config:
     gboffset: int = 0
     agg_strategy: str = AGG_SERIAL
     grainsize_log: int = 0
+    # True on the VDL-conformance path (CLI compile/genplans): applies the
+    # reference's aggregation-strategy rewrites (2-level grain folds,
+    # contention shuffles, the hardcoded >32000 sparse-domain shuffle —
+    # Vlite.hs:1076-1098,1173-1194).  The TPU engine keeps this False: its
+    # sparse group-by path sorts anyway, so contention shuffles would only
+    # add gather traffic.
+    conformance_agg: bool = False
     # catalog
     dictionary: Dict[str, int] = field(default_factory=dict)  # string -> code (global; last wins, Config.hs:83-86)
     col_dictionary: Dict[Name, Dict[str, int]] = field(default_factory=dict)  # per-column, for LIKE

@@ -72,6 +72,10 @@ def _config_from_args(args):
         gboffset=args.goffset,
         agg_strategy=strat,
         grainsize_log=g.bit_length() - 1,
+        # the CLI compile path produces the reference-conformance VDL
+        # artifact: apply the aggregation-strategy rewrites (the engine's
+        # `run` path builds its own Config and keeps them off)
+        conformance_agg=True,
     )
 
 

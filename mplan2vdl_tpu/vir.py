@@ -978,6 +978,41 @@ def _group_ids(gkey: Vexp) -> Vexp:
     return complete(Partition(pivots=pivots, pdata=gkey))
 
 
+def _strategy_fold(cfg: Config, fop: str, ids: Vexp, gdata: Vexp) -> Vexp:
+    """Build the aggregate fold under the configured strategy
+    (Vlite.hs:1076-1098, make2LevelFold :1173-1194), conformance path only.
+
+    * serial — plain segmented fold
+    * shuffle — permute (ids, data) pairs through ``VShuffle`` first to
+      spread scatter contention; also forced for key domains > 32000
+      (``getSparsity`` hardcodes the threshold, Vlite.hs:1076-1079)
+    * hierarchical — 2-level grain tree: level-1 key appends the grain bit
+      ``(pos >> log2 g) & 1``, fold, then fold the partials
+    """
+    from .catalog import AGG_HIERARCHICAL, AGG_SHUFFLE
+
+    strat = cfg.agg_strategy if cfg.conformance_agg else None
+    domain = ids.info.bounds[1] + 1
+    if cfg.conformance_agg and domain > 32000:
+        strat = AGG_SHUFFLE
+    if strat == AGG_SHUFFLE:
+        # pair-preserving encoding of the reference's row shuffle: one
+        # random permutation gathers BOTH vectors (any permutation is a
+        # legal execution; the engine lowers VShuffle to identity)
+        perm = complete(VShuffle(varg=pos_(ids)))
+        ids = complete(Shuffle(shop=GATHER, shsource=ids, shpos=perm))
+        gdata = complete(Shuffle(shop=GATHER, shsource=gdata, shpos=perm))
+    elif strat == AGG_HIERARCHICAL and cfg.grainsize_log > 0:
+        pos = pos_(ids)
+        grain = bitand_(shr_(pos, const_(cfg.grainsize_log, pos)),
+                        const_(1, pos))
+        ids2 = bitor_(shl_(ids, const_(1, ids)), grain)
+        partial = complete(Fold(foldop=fop, fgroups=ids2, fdata=gdata))
+        base = complete(Fold(foldop=FCHOOSE, fgroups=ids2, fdata=ids))
+        return complete(Fold(foldop=fop, fgroups=base, fdata=partial))
+    return complete(Fold(foldop=fop, fgroups=ids, fdata=gdata))
+
+
 def solve_agg(cfg: Config, env: Env, after_env: Env, gkey: Vexp,
               agg: M.GroupAgg) -> Vexp:
     """Vlite.hs:1033-1070 under the id-based Fold semantics."""
@@ -991,8 +1026,7 @@ def solve_agg(cfg: Config, env: Env, after_env: Env, gkey: Vexp,
             if hit is not None and hit[1].nullmask is not None:
                 # null-aware count(col): sum the validity mask
                 ids = _group_ids(gkey)
-                return complete(Fold(foldop=FSUM, fgroups=ids,
-                                     fdata=hit[1].nullmask))
+                return _strategy_fold(cfg, FSUM, ids, hit[1].nullmask)
         return solve_agg(cfg, env, after_env, gkey,
                          M.GFold(M.FSUM, M.MLiteral(DDecimal(0), 1)))
     assert isinstance(agg, M.GFold)
@@ -1004,7 +1038,7 @@ def solve_agg(cfg: Config, env: Env, after_env: Env, gkey: Vexp,
     fop = {M.FSUM: FSUM, M.FMAX: FMAX, M.FMIN: FMIN, M.FCHOOSE: FCHOOSE}[agg.op]
     gdata = sc(env, agg.expr)
     ids = _group_ids(gkey)
-    return complete(Fold(foldop=fop, fgroups=ids, fdata=gdata))
+    return _strategy_fold(cfg, fop, ids, gdata)
 
 
 def _solve_groupby(cfg: Config, r: M.RGroupBy) -> List[Vexp]:

@@ -116,3 +116,29 @@ def test_cli_smoke(tmp_path, capsys):
     assert "Fold FSum" in capsys.readouterr().out
     cli.main(["compile", f"{B}/03.sql.mplan"] + meta + ["--dot"])
     assert "digraph" in capsys.readouterr().out
+
+
+def test_agg_strategies_conformance(capsys):
+    """Reference aggregation strategies shape the emitted VDL
+    (Vlite.hs:1076-1098, make2LevelFold :1173-1194): --agghierarchical
+    doubles the fold chain (partials + combine), --aggshuffle inserts a
+    VShuffle permutation, and sparse key domains (> 32000) force the
+    shuffle even under the default strategy."""
+    from mplan2vdl_tpu import cli
+
+    B = "/root/reference/tests/tpch10noorder"
+    meta = ["-b", f"{B}/bounds.csv", "-t", f"{B}/storage.csv",
+            "-s", f"{B}/schema.msqldump", "--dictionary",
+            f"{B}/dictionary.csv"]
+    cli.main(["compile", f"{B}/01.sql.mplan"] + meta)
+    serial = capsys.readouterr().out
+    cli.main(["compile", f"{B}/01.sql.mplan"] + meta
+             + ["--agghierarchical", "-g", "1024"])
+    hier = capsys.readouterr().out
+    assert hier.count("FoldSum") == 2 * serial.count("FoldSum")
+    cli.main(["compile", f"{B}/01.sql.mplan"] + meta + ["--aggshuffle"])
+    assert ",Shuffle," in capsys.readouterr().out
+    assert ",Shuffle," not in serial
+    # Q3's composite key domain exceeds 32000: shuffle is forced
+    cli.main(["compile", f"{B}/03.sql.mplan"] + meta)
+    assert ",Shuffle," in capsys.readouterr().out
