@@ -161,6 +161,10 @@ def cmd_run(args):
         print(f"# profiler trace written to {args.profile}", file=sys.stderr)
     else:
         res = cq()
+    if getattr(args, "roofline", False):
+        rep = cq.cost_report(hbm_gbps=args.hbm_gbps)
+        for k, v in rep.items():
+            print(f"# {k}: {v}", file=sys.stderr)
     if args.decode:
         cols = res.decoded(store)
     else:
@@ -205,6 +209,12 @@ def main(argv=None):
     pr.add_argument("--use-cross-product", action="store_true")
     pr.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the run")
+    pr.add_argument("--roofline", action="store_true",
+                    help="print HBM-roofline accounting (scan bytes, XLA "
+                         "bytes accessed, amplification, floor time)")
+    pr.add_argument("--hbm-gbps", type=float, default=819.0,
+                    help="device HBM bandwidth for the roofline floor "
+                         "(default: TPU v5e)")
     pr.set_defaults(fn=cmd_run)
 
     args = ap.parse_args(argv)

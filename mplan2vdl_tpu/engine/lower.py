@@ -724,6 +724,35 @@ class CompiledQuery:
             dts.append(v.info.dtype)
         return QueryResult(names=names, dtypes=dts, columns=cols)
 
+    def cost_report(self, hbm_gbps: Optional[float] = None) -> dict:
+        """HBM-roofline accounting for the compiled program (the SURVEY §5
+        observability requirement: per-query traffic/flops budgeting).
+
+        ``scan_bytes`` is the theoretical minimum (one read of every input
+        column); XLA's ``bytes_accessed`` over it is the traffic
+        amplification the plan actually incurs (gathers, sorts, multiple
+        passes).  With a device bandwidth, reports the roofline floor —
+        the time the query CANNOT beat on this chip."""
+        args = self.device_args()
+        compiled = self._jitted.lower(args).compile()
+        ca = compiled.cost_analysis() or {}
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        scan = sum(np.asarray(a).nbytes for a in args)
+        out = {
+            "scan_bytes": scan,
+            "xla_bytes_accessed": ca.get("bytes accessed"),
+            "flops": ca.get("flops"),
+            "amplification": (ca["bytes accessed"] / scan
+                              if ca.get("bytes accessed") and scan else None),
+        }
+        if hbm_gbps:
+            out["roofline_floor_s"] = scan / (hbm_gbps * 1e9)
+            if ca.get("bytes accessed"):
+                out["xla_traffic_time_s"] = \
+                    ca["bytes accessed"] / (hbm_gbps * 1e9)
+        return out
+
 
 def _all_loads(vexps: List[V.Vexp]):
     seen = set()

@@ -142,3 +142,21 @@ def test_agg_strategies_conformance(capsys):
     # Q3's composite key domain exceeds 32000: shuffle is forced
     cli.main(["compile", f"{B}/03.sql.mplan"] + meta)
     assert ",Shuffle," in capsys.readouterr().out
+
+
+def test_cost_report_roofline():
+    """Whole-program HBM accounting: minimum scan bytes, XLA's actual
+    bytes accessed, and the roofline floor (SURVEY §5 observability)."""
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.engine.lower import compile_plan_text
+
+    store = datagen.generate(sf=0.002, seed=5)
+    cfg = store.make_catalog()
+    with open("/root/reference/tests/tpch10noorder/06.sql.mplan") as f:
+        cq = compile_plan_text(f.read(), cfg, store)
+    rep = cq.cost_report(hbm_gbps=819.0)
+    nrows = store.table_count(("lineitem",))
+    assert rep["scan_bytes"] == 4 * 4 * nrows  # four int32 columns
+    assert rep["roofline_floor_s"] > 0
+    if rep["xla_bytes_accessed"]:
+        assert rep["amplification"] >= 1.0
