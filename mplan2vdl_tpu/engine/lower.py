@@ -26,6 +26,7 @@ Op lowering highlights:
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 from functools import partial
@@ -494,6 +495,11 @@ class Compiler:
         return art
 
     def _eval_fold(self, v: V.Vexp, vx: V.Fold) -> Val:
+        hit = getattr(self, "fold_map", None)
+        if hit:
+            fam = hit.get(v.skey)
+            if fam is not None:
+                return self._eval_fused(v, fam)
         dt = dtype_for(v.info)
         g = self.eval(vx.fgroups)
         domain = vx.fgroups.info.bounds[1] + 1
@@ -546,6 +552,57 @@ class Compiler:
         ngroups = art["ngroups"]
         out = _mask_tail(out.astype(dt), ngroups, L_out)
         return Val(data=out, valid=ngroups, length=L_out)
+
+    # ----------------------------------------------------------- fused aggs
+    def _eval_fused(self, v: V.Vexp, key: tuple) -> Val:
+        """One fold of a fused multi-aggregate family: the whole family
+        computes in ONE kernel pass over the scan (engine/fuse.py,
+        kernels/multiagg.py) and is cached; each fold slices its column
+        and compacts to occupied groups exactly like the dense path."""
+        from .kernels.multiagg import AggSpec, BLOCK, fused_group_aggregate
+
+        fam_idx, agg_idx = key
+        fam = self.families[fam_idx]
+        cache = getattr(self, "fused_cache", None)
+        if cache is None:
+            cache = self.fused_cache = {}
+        hit = cache.get(fam_idx)
+        if hit is None:
+            g = self._force(self.eval(fam.fgroups))
+            n = g.length
+            idx = jnp.arange(n, dtype=jnp.int64)
+            valid = idx < jnp.asarray(g.valid, jnp.int64)
+            if fam.fmask is not None:
+                m = self._force(self.eval(fam.fmask))
+                valid = valid & (m.data[:n] != 0)
+            gid = jnp.where(valid, g.data[:n].astype(jnp.int32),
+                            jnp.int32(-1))
+            cols = []
+            for nm in fam.load_names:
+                arr = self.tables[nm]
+                assert len(arr) == n, (nm, len(arr), n)
+                cols.append(arr.astype(jnp.int32))
+            pad = -(-n // BLOCK) * BLOCK - n
+            if pad:
+                gid = jnp.concatenate(
+                    [gid, jnp.full((pad,), -1, jnp.int32)])
+                cols = [jnp.concatenate(
+                    [c, jnp.zeros((pad,), jnp.int32)]) for c in cols]
+            specs = list(fam.specs) + [AggSpec(base=None, bits=1)]
+            out = fused_group_aggregate(
+                cols, gid, specs, fam.domain,
+                interpret=jax.default_backend() != "tpu")
+            counts = out[:, -1]
+            occ = counts > 0
+            ngroups = jnp.sum(occ.astype(jnp.int64))
+            hit = {"out": out, "occ": occ, "ngroups": ngroups}
+            cache[fam_idx] = hit
+        dt = dtype_for(v.info)
+        L_out = min(fam.domain, v.info.count)
+        (sel,) = jnp.nonzero(hit["occ"], size=L_out, fill_value=0)
+        vals = hit["out"][sel, agg_idx]
+        data = _mask_tail(vals.astype(dt), hit["ngroups"], L_out)
+        return Val(data=data, valid=hit["ngroups"], length=L_out)
 
     # ------------------------------------------------------------- partitions
     def _eval_partition(self, v: V.Vexp, vx: V.Partition) -> Val:
@@ -627,6 +684,13 @@ class CompiledQuery:
         self.fsel_sizes: Dict[int, int] = {}
         self._args = None
         self._resolve_dynamic_sizes()
+        # families of same-(group,mask) dense folds fuse into one kernel
+        # pass (engine/fuse.py); killable via MPLAN2VDL_NO_FUSE=1
+        self.fold_map, self.families = {}, []
+        if not os.environ.get("MPLAN2VDL_NO_FUSE"):
+            from .fuse import plan_fusions
+
+            self.fold_map, self.families = plan_fusions(vexps)
         self._jitted = jax.jit(self._run)
 
     # ----------------------------------------------------- two-phase sizing
@@ -703,6 +767,7 @@ class CompiledQuery:
     def _run(self, table_arrays: Tuple[jnp.ndarray, ...]):
         tables = dict(zip(self.loads, table_arrays))
         c = Compiler(self.cfg, self.store, self.join_sizes, self.fsel_sizes)
+        c.fold_map, c.families = self.fold_map, self.families
         vals = c.trace(self.vexps, tables)
         return tuple((v.data, jnp.asarray(v.valid, jnp.int64)) for v in vals)
 
