@@ -15,9 +15,10 @@ import pytest
 
 MONETPCH = "/root/reference/tests/monetpch"
 
-# representative coverage: group-by+order (01, 05), top-N with multi-key
-# mixed-direction order (02, 03, 10, 18), semijoin/antijoin + order (21)
-QUERIES = ["01", "02", "03", "05", "10", "18", "21"]
+# the FULL unmodified corpus: every ordered/top-N TPC-H plan executes
+# (group-by+order, top-N with multi-key mixed-direction order, semijoin/
+# antijoin + order, correlated shapes)
+QUERIES = [f"{i:02d}" for i in range(1, 23)]
 
 
 @pytest.fixture(scope="session")
