@@ -122,3 +122,31 @@ def test_vir_lowering_tpch10(tpch10_config, q):
     assert len(cleaned) == len(vexps)
     for v in cleaned:
         assert v.info.count >= 0
+
+
+def _testcases(path):
+    """Split a --TEST-- fixture file into (sql, plan_text) pairs."""
+    txt = open(path).read()
+    out = []
+    for chunk in txt.split("--TEST--")[1:]:
+        lines = chunk.splitlines()
+        sql, body = lines[0].strip(), "\n".join(lines[1:]).strip()
+        if body:
+            out.append((sql, body))
+    return out
+
+
+@pytest.mark.parametrize("fixture", ["ad_hoc_tests.txt",
+                                     "detailed_tests.txt"])
+def test_grammar_corner_case_fixtures(fixture):
+    """Every plan in the reference's --TEST-- fixture files parses (the
+    reference's intended tasty suite, tests/Tests.hs:20-63 — grammar
+    corner cases: OR/FILTER/IN precedence, x<y<z intervals, LIKE forms,
+    nested conjunct lists)."""
+    from mplan2vdl_tpu.fe import lexer, plan_parser
+
+    cases = _testcases(f"/root/reference/tests/{fixture}")
+    assert cases, "fixture file parsed to zero cases"
+    for sql, plan in cases:
+        rel = plan_parser.parse(lexer.strip_plan_comments(plan))
+        assert rel is not None, sql
