@@ -79,6 +79,22 @@ def _vmin(a, b):
     return jnp.minimum(jnp.asarray(a, jnp.int64), jnp.asarray(b, jnp.int64))
 
 
+def _sel_positions(mask: jnp.ndarray) -> jnp.ndarray:
+    """Stable positions of mask-true rows first (the compaction core).
+
+    Fuses the mask bit and the row index into ONE int32 key so the sort
+    moves 4 bytes/row instead of argsort's (bool, int64) 9 — the
+    compaction sorts dominate join-heavy queries (BENCH_QUERIES.md), so
+    this is the hottest sort in the engine.  Stability is free: the
+    embedded index makes the key total."""
+    n = mask.shape[0]
+    if n < (1 << 30):
+        fused = (jnp.where(mask, 0, 1 << 30).astype(jnp.int32)
+                 + jnp.arange(n, dtype=jnp.int32))
+        return lax.sort(fused) & ((1 << 30) - 1)
+    return jnp.argsort(~mask, stable=True)
+
+
 def _mask_tail(data: jnp.ndarray, valid, length: int) -> jnp.ndarray:
     """Re-establish the zeros-past-valid invariant."""
     if isinstance(valid, int) and valid == length:
@@ -214,7 +230,7 @@ class Compiler:
             #   nonzero (XLA scatter)        128 ms  (serialized updates)
             #   cumsum + searchsorted        225 ms  (random-gather search)
             #   stable argsort of ~mask      3.4 ms  <- used
-            sel = jnp.argsort(~mask, stable=True)
+            sel = _sel_positions(mask)
             nz = jnp.sum(mask.astype(jnp.int64))
             # the counting pre-pass shrinks the selection buffer to the
             # actual survivor count, so every downstream gather runs at
@@ -231,7 +247,9 @@ class Compiler:
 
         if isinstance(vx, V.Semisort):
             s = self._force(self.eval(vx.sdata))
-            perm = jnp.argsort(s.data, stable=True)
+            it = jnp.arange(s.length, dtype=jnp.int32
+                            if s.length < 2**31 else jnp.int64)
+            _, perm = lax.sort((s.data, it), num_keys=1, is_stable=True)
             return Val(data=perm.astype(dt), valid=s.valid, length=s.length)
 
         if isinstance(vx, V.SortPerm):
@@ -248,7 +266,9 @@ class Compiler:
                 if desc:
                     kd = -kd
                 key = jnp.where(validmask, kd, BIG)[perm]
-                order = jnp.argsort(key, stable=True)
+                it = jnp.arange(n, dtype=jnp.int32 if n < 2**31
+                                else jnp.int64)
+                _, order = lax.sort((key, it), num_keys=1, is_stable=True)
                 perm = perm[order]
             data = _mask_tail(perm.astype(dt), vals[0].valid, n)
             return Val(data=data, valid=vals[0].valid, length=n)
@@ -339,7 +359,7 @@ class Compiler:
             lidx = jnp.arange(n, dtype=jnp.int64)
             lmask = lidx < jnp.asarray(art["lvalid"], jnp.int64)
             keep = (has if side == V.JSEMI else ~has) & lmask
-            sel = jnp.argsort(~keep, stable=True)  # see FSel strategy note
+            sel = _sel_positions(keep)  # see FSel strategy note
             nz = jnp.sum(keep.astype(jnp.int64))
             return Val(data=_mask_tail(sel.astype(dt), nz, n), valid=nz,
                        length=n)
@@ -490,7 +510,7 @@ class Compiler:
             # the scatter-free segmented-reduce machinery: sums become
             # cumsum differences at run ends, choose reads run starts,
             # min/max use a log-sweep segmented prefix
-            starts = jnp.argsort(~head, stable=True)[:L_out]
+            starts = _sel_positions(head)[:L_out]
             next_start = jnp.concatenate(
                 [starts[1:], jnp.full((1,), n, starts.dtype)])
             kidx = jnp.arange(L_out, dtype=jnp.int64)
