@@ -14,22 +14,32 @@ toolchain: any i64 in a Pallas TPU kernel is rejected) comes from
     of 16 bits (value = sum_k limb_k << 16k)
   * products are built by `_mul_small`: multiply every limb by a factor
     < 2^15 and renormalize carries — intermediates stay < 2^31
-  * a block's (group, agg, limb) partial is a masked sum of <= BLOCK
-    16-bit limbs (< 2^27), renormalized before joining the running
-    int32 accumulator, which then grows by < 2^17 per block — safe for
-    < 2^14 blocks (> 33M rows at BLOCK=2048)
-  * the host recombines exactly in int64: sum_k acc_k << 16k
+
+Accumulation is PER-LANE: each (group, agg, limb) owns one [1, 128]
+output row holding 128 independent lane partials, built with a single
+sublane-axis reduction per block.  No cross-lane (scalar-output)
+reduction ever runs on-device — Mosaic lowers scalar-output integer
+reductions through a re-traced ``jnp.sum`` proxy WITHOUT
+``promote_integers=False``, which under x64 injects an int64 convert
+it then rejects; and the scalar-extract + mask-placement form it
+forces measured 45us/block (0.9 GB/s) on v5e.  Lane partials grow by
+<= 16*2^16 = 2^20 per block; an in-kernel carry renormalization every
+``RENORM_EVERY`` blocks keeps every int32 accumulator exact.  The host
+recombines in int64: for each (group, agg), sum over lanes and limbs
+of acc << 16k — exact while the aggregate's true value < 2^62 (the
+``bits`` spec bound guarantees it).
 
 Aggregate spec: ``value = base_col * prod(const_i + sign_i * col_i)``
 with non-negative row values, base any int32 column (or 1 for count)
 and every factor value in [0, 2^15).  This covers the TPC-H aggregate
 shapes (sum, count, sum of price*(100-disc)*(100+tax) products).
 
-The kernel uses only elementwise VPU ops, broadcasted iota and full
-reductions — no gather/scatter, no dynamic indexing, no i64: exactly
-the Mosaic-supported subset (ROADMAP "measured walls").  Interpret mode
-validates semantics on CPU (tests/test_multiagg.py); the TPU build is
-the same code with interpret=False.
+The kernel uses only elementwise VPU ops, broadcasted iota, sublane
+reductions and static concatenation — no gather/scatter, no dynamic
+indexing, no i64: exactly the Mosaic-supported subset (ROADMAP
+"measured walls").  Interpret mode validates semantics on CPU
+(tests/test_multiagg.py); the TPU build is the same code with
+interpret=False.
 """
 
 from __future__ import annotations
@@ -51,6 +61,7 @@ LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
 BLOCK = 2048  # rows per grid step = 16 sublanes x 128 lanes of int32
 LANES = 128
+RENORM_EVERY = 256  # power of 2; lane acc < 2^16 + 256*2^20 < 2^31 between renorms
 
 
 @dataclass(frozen=True)
@@ -96,7 +107,33 @@ def _mul_small(limbs, f):
     return _renorm([l * f for l in limbs])
 
 
-def _kernel(specs, n_groups, out_pad, *refs):
+def _row_layout(specs, n_groups):
+    """Row table: (group, agg) -> (first row, row count).
+
+    Sum aggregates first (``nlimb + 1`` rows each — limbs plus a carry
+    row the in-kernel renorm can spill into), then max aggregates (one
+    row each), so the kernel separates the two combine rules with a
+    single row-index compare.  Padded to a multiple of 8 sublanes.
+    """
+    table, row = {}, 0
+    for a, spec in enumerate(specs):
+        if spec.op == "max":
+            continue
+        for g in range(n_groups):
+            table[(g, a)] = (row, spec.nlimb + 1)
+            row += spec.nlimb + 1
+    max_start = row
+    for a, spec in enumerate(specs):
+        if spec.op != "max":
+            continue
+        for g in range(n_groups):
+            table[(g, a)] = (row, 1)
+            row += 1
+    total = -(-max(row, 8) // 8) * 8
+    return table, max_start, total
+
+
+def _kernel(specs, n_groups, n_rows, max_start, renorm_every, *refs):
     cols_refs, out_ref = refs[:-1], refs[-1]
     step = pl.program_id(0)
 
@@ -118,79 +155,129 @@ def _kernel(specs, n_groups, out_pad, *refs):
             limbs = _mul_small(limbs, c + s * cols[idx])
         per_agg.append(limbs)
 
-    # scalar partials placed into the small output tile by flat index
-    sub = jax.lax.broadcasted_iota(jnp.int32, (out_pad, LANES), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (out_pad, LANES), 1)
-    upd = jnp.zeros((out_pad, LANES), jnp.int32)
-    maxmask = jnp.zeros((out_pad, LANES), jnp.bool_)
-    flat = 0
-    for g in range(n_groups):
-        sel = gid == g
+    # one [1, LANES] lane-partial row per (group, agg, limb); sublane
+    # reduction only — never a scalar-output (cross-lane) reduce
+    zero_row = jnp.zeros((1, LANES), jnp.int32)
+    rows = [None] * n_rows
+    row = 0
+    for op in ("sum", "max"):
         for spec, limbs in zip(specs, per_agg):
-            if spec.op == "max":
-                part = [jnp.max(jnp.where(sel, limbs[0], 0))]
-                slots = part + [jnp.zeros((), jnp.int32)]
-            else:
-                # block partials are < BLOCK * 2^16 = 2^27; renormalize
-                # WITH an extra carry limb so every accumulator slot grows
-                # by < 2^16 per block (exact for < 2^15 blocks)
-                sums = [jnp.sum(jnp.where(sel, l, 0)) for l in limbs]
-                slots = _renorm(sums + [jnp.zeros((), jnp.int32)])
-            for v in slots:
-                at = (sub == flat // LANES) & (lane == flat % LANES)
-                upd = upd + jnp.where(at, v, 0)
-                if spec.op == "max":
-                    maxmask = maxmask | at
-                flat += 1
+            if spec.op != op:
+                continue
+            for g in range(n_groups):
+                sel = gid == g
+                if op == "max":
+                    rows[row] = jnp.max(
+                        jnp.where(sel, limbs[0], jnp.int32(0)),
+                        axis=0, keepdims=True)
+                    row += 1
+                else:
+                    for l in limbs:
+                        rows[row] = jnp.sum(
+                            jnp.where(sel, l, jnp.int32(0)),
+                            axis=0, keepdims=True,
+                            promote_integers=False)
+                        row += 1
+                    rows[row] = zero_row  # carry row
+                    row += 1
+    for r in range(row, n_rows):
+        rows[r] = zero_row
+    upd = jnp.concatenate(rows, axis=0)
+
     acc = out_ref[...]
-    out_ref[...] = jnp.where(maxmask, jnp.maximum(acc, upd), acc + upd)
+    is_max = jax.lax.broadcasted_iota(
+        jnp.int32, (n_rows, LANES), 0) >= max_start
+    out_ref[...] = jnp.where(is_max, jnp.maximum(acc, upd), acc + upd)
+
+    # power-of-2 AND, not %: scalar mod promotes through i64 under x64,
+    # which sends Mosaic's convert rule into infinite recursion
+    @pl.when(step & (renorm_every - 1) == renorm_every - 1)
+    def _carry():
+        acc = out_ref[...]
+        parts = []
+        for r in range(n_rows):
+            seg = [(r0, nl) for (r0, nl) in
+                   (v for k, v in _iter_sum_rows(specs, n_groups))
+                   if r0 <= r < r0 + nl]
+            if not seg:
+                parts.append(acc[r:r + 1, :])
+                continue
+            r0, nl = seg[0]
+            cur = acc[r:r + 1, :]
+            new = cur if r + 1 == r0 + nl else cur & LIMB_MASK
+            if r > r0:
+                new = new + (acc[r - 1:r, :] >> LIMB_BITS)
+            parts.append(new)
+        out_ref[...] = jnp.concatenate(parts, axis=0)
 
 
-def _flat_layout(specs, n_groups):
-    """(group, agg) -> (flat offset, limb count incl. the carry limb)."""
-    off, table = 0, {}
-    for g in range(n_groups):
-        for a, spec in enumerate(specs):
-            table[(g, a)] = (off, spec.nlimb + 1)
-            off += spec.nlimb + 1
-    return table, off
+def _iter_sum_rows(specs, n_groups):
+    """(key, (first row, limb rows incl. carry)) for sum aggregates,
+    in kernel row order."""
+    row = 0
+    for a, spec in enumerate(specs):
+        if spec.op == "max":
+            continue
+        for g in range(n_groups):
+            yield (g, a), (row, spec.nlimb + 1)
+            row += spec.nlimb + 1
 
 
 def fused_group_aggregate(cols: Sequence[jax.Array], gid: jax.Array,
                           specs: Sequence[AggSpec], n_groups: int,
-                          *, interpret: bool = False) -> jax.Array:
+                          *, block: int = BLOCK,
+                          interpret: bool = False) -> jax.Array:
     """[n_groups, n_aggs] exact int64 sums.
 
-    ``cols``: int32 row vectors padded to a BLOCK multiple; ``gid``:
+    ``cols``: int32 row vectors padded to a ``block`` multiple; ``gid``:
     int32 group ids with every masked-out/padding row negative.
+    ``block`` amortizes the kernel's fixed per-block instruction count
+    (one masked reduce per group x limb) over more rows; larger is
+    faster until VMEM pressure, measured on v5e in BENCH_OPS.md.
     """
     n = cols[0].shape[0]
-    assert n % BLOCK == 0, n
-    sub_rows = BLOCK // LANES
+    assert n % block == 0, n
+    sub_rows = block // LANES
     shaped = [c.reshape(-1, LANES) for c in list(cols) + [gid]]
-    table, total = _flat_layout(specs, n_groups)
-    out_pad = max(8, -(-total // LANES) * 8)
+    table, max_start, n_rows = _row_layout(specs, n_groups)
 
-    kernel = partial(_kernel, tuple(specs), n_groups, out_pad)
+    # lane acc grows by < sub_rows * 2^16 per block; renorm often enough
+    # that it stays < 2^30 (power of 2 so the kernel can AND-test)
+    renorm_every = 1 << max(0, (30 - LIMB_BITS - sub_rows.bit_length()))
+
+    kernel = partial(_kernel, tuple(specs), n_groups, n_rows, max_start,
+                     renorm_every)
     out = pl.pallas_call(
         kernel,
-        grid=(n // BLOCK,),
-        in_specs=[pl.BlockSpec((sub_rows, LANES), lambda i: (i, 0))
+        grid=(n // block,),
+        # index maps return int32 literals: under x64 a bare 0 becomes an
+        # i64 constant, which Mosaic refuses to lower
+        in_specs=[pl.BlockSpec((sub_rows, LANES),
+                               lambda i: (i, jnp.int32(0)))
                   for _ in shaped],
-        out_specs=pl.BlockSpec((out_pad, LANES), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((out_pad, LANES), jnp.int32),
+        out_specs=pl.BlockSpec((n_rows, LANES),
+                               lambda i: (jnp.int32(0), jnp.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
         interpret=interpret,
     )(*shaped)
-    flat = out.reshape(-1).astype(jnp.int64)
+    acc = out.astype(jnp.int64)
     res = []
     for g in range(n_groups):
         row = []
         for a, spec in enumerate(specs):
             off, nl = table[(g, a)]
-            acc = jnp.int64(0)
-            for k in range(nl):
-                acc = acc + (flat[off + k] << (LIMB_BITS * k))
-            row.append(acc)
+            if spec.op == "max":
+                row.append(jnp.max(acc[off]))
+            else:
+                lane_sums = jnp.sum(acc[off:off + nl], axis=1)
+                val = jnp.int64(0)
+                for k in range(nl):
+                    # rows whose weight exceeds the value bound are
+                    # provably zero; shifting >= 63 is UB, skip them
+                    if LIMB_BITS * k > 62:
+                        continue
+                    val = val + (lane_sums[k] << (LIMB_BITS * k))
+                row.append(val)
         res.append(jnp.stack(row))
     return jnp.stack(res)
 

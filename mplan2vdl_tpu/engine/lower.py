@@ -715,10 +715,17 @@ class CompiledQuery:
         self.fsel_sizes: Dict[int, int] = {}
         self._args = None
         self._resolve_dynamic_sizes()
-        # families of same-(group,mask) dense folds fuse into one kernel
-        # pass (engine/fuse.py); killable via MPLAN2VDL_NO_FUSE=1
+        # families of same-(group,mask) dense folds can fuse into one
+        # Pallas kernel pass (engine/fuse.py + kernels/multiagg.py).
+        # OFF by default: measured on v5e (tools/bench_multiagg.py,
+        # BENCH_OPS.md) the plain XLA path — all masked int64 reduces in
+        # one jitted program — is slightly faster (855us vs 916us at 4M
+        # rows, Q1 end-to-end 0.45ms vs 0.47ms); both are VPU-bound at
+        # the same op count, so the one-pass kernel buys nothing here.
+        # MPLAN2VDL_FUSED_AGG=1 enables it (useful where int64 emulation
+        # is slower than limb arithmetic, or to re-measure on new chips).
         self.fold_map, self.families = {}, []
-        if not os.environ.get("MPLAN2VDL_NO_FUSE"):
+        if os.environ.get("MPLAN2VDL_FUSED_AGG", "0") not in ("", "0"):
             from .fuse import plan_fusions
 
             self.fold_map, self.families = plan_fusions(vexps)

@@ -86,3 +86,15 @@ def test_q1_sql_oracle(sf001):
     assert (sorted(zip(*[got[k].tolist() for k in keys]))
             == sorted(zip(*[np.asarray(exp[k], dtype=np.int64).tolist()
                             for k in keys])))
+
+
+def test_q1_fused_agg_path(sf001, monkeypatch):
+    """The opt-in fused multi-aggregate kernel path (MPLAN2VDL_FUSED_AGG=1,
+    engine/fuse.py + kernels/multiagg.py) stays row-exact vs the default
+    XLA path.  Off by default: measured slightly slower on v5e
+    (tools/bench_multiagg.py)."""
+    store, cfg = sf001
+    got_default, want = run_both(store, cfg, "01")
+    monkeypatch.setenv("MPLAN2VDL_FUSED_AGG", "1")
+    got_fused, _ = run_both(store, cfg, "01")
+    assert got_fused == want == got_default
