@@ -52,7 +52,7 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_enable_x64", True)  # host-side limb recombination
+from ... import jaxcfg  # noqa: F401  (x64 + persistent compilation cache)
 
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -30,7 +30,7 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+from .. import jaxcfg  # noqa: F401  (x64 + persistent compilation cache)
 
 import jax.numpy as jnp
 from jax import lax
