@@ -698,6 +698,39 @@ class QueryResult:
         return out
 
 
+def dynamic_nodes(roots: List[V.Vexp]):
+    """Data-dependent-cardinality nodes (selection compactions and
+    join expansions) under ``roots`` in dependency (post-)order.  A join
+    key-pair appears once, except that outer variants re-appear so the
+    resolver can widen the size to include unmatched rows."""
+    seen_nodes = set()
+    out = []
+    join_keys = set()
+
+    def go(v: V.Vexp):
+        if v.skey in seen_nodes:
+            return
+        seen_nodes.add(v.skey)
+        for c in _children(v.vx):
+            go(c)
+        if isinstance(v.vx, V.Fold) and v.vx.foldop == V.FSEL:
+            out.append(("fsel", v))
+        if isinstance(v.vx, V.JoinIndex) and v.vx.jside not in (
+                V.JSEMI, V.JANTI):
+            key = (v.vx.lkeys.skey, v.vx.rkeys.skey)
+            outer = v.vx.jside in (V.JOUTER_LEFT, V.JOUTER_RIGHT,
+                                   V.JOUTER_VALID)
+            if key not in join_keys:
+                join_keys.add(key)
+                out.append(("join", v))
+            elif outer:
+                out.append(("join", v))  # re-resolve with outer count
+
+    for v in roots:
+        go(v)
+    return out
+
+
 class CompiledQuery:
     """One query compiled against one store: a single jitted XLA program.
 
@@ -733,34 +766,7 @@ class CompiledQuery:
 
     # ----------------------------------------------------- two-phase sizing
     def _dynamic_nodes(self):
-        """Data-dependent-cardinality nodes (selection compactions and
-        join expansions) in dependency (post-)order."""
-        seen_nodes = set()
-        out = []
-        join_keys = set()
-
-        def go(v: V.Vexp):
-            if v.skey in seen_nodes:
-                return
-            seen_nodes.add(v.skey)
-            for c in _children(v.vx):
-                go(c)
-            if isinstance(v.vx, V.Fold) and v.vx.foldop == V.FSEL:
-                out.append(("fsel", v))
-            if isinstance(v.vx, V.JoinIndex) and v.vx.jside not in (
-                    V.JSEMI, V.JANTI):
-                key = (v.vx.lkeys.skey, v.vx.rkeys.skey)
-                outer = v.vx.jside in (V.JOUTER_LEFT, V.JOUTER_RIGHT,
-                                       V.JOUTER_VALID)
-                if key not in join_keys:
-                    join_keys.add(key)
-                    out.append(("join", v))
-                elif outer:
-                    out.append(("join", v))  # re-resolve with outer count
-
-        for v in self.vexps:
-            go(v)
-        return out
+        return dynamic_nodes(self.vexps)
 
     def _resolve_dynamic_sizes(self):
         """Counting pre-passes: resolve each selection's survivor count and

@@ -23,8 +23,10 @@ evaluation (identical on every shard, from replicated columns):
 fact-domain mask scatters slice per-shard row windows; gathers whose
 positions live in replicated frames, and join right-key vectors,
 evaluate whole; equijoins probe shard-local left keys against the
-full right side, with join-expansion buffers sized by the single-chip
-counting pre-pass.  Fact ROW-POSITION values (representative-row picks,
+full right side, with join-expansion buffers sized by a DISTRIBUTED
+counting pre-pass (one shard_map round per join: psum of per-shard
+local-probe match counts) — the full query is never materialized on a
+single chip.  Fact ROW-POSITION values (representative-row picks,
 row-id group keys, rowid join keys) evaluate locally and are globalized
 by ``rstep * shard_start`` at the fold/join boundary; positions that
 leak through unrecognized shapes disqualify the plan.
@@ -294,7 +296,8 @@ def _plan_regions(folds, fact: str, fact_count: int):
     full_roots += [g.vx.shsource for g in fullsrc.values()]
     extra_full = sorted({nm for nm in _loads_under(*full_roots)
                          if nm[0] == fact})
-    return scatters, replicate, fullsrc, extra_full
+    return scatters, replicate, fullsrc, extra_full, \
+        [r for r in full_roots if r is not None]
 
 
 def _loads_under(*roots: V.Vexp):
@@ -473,23 +476,44 @@ class AutoDistributed:
         self.folds = folds
         self.domain = domain
 
-        scatters, replicate, fullsrc, extra_full = _plan_regions(
+        scatters, replicate, fullsrc, extra_full, full_roots = _plan_regions(
             folds, self.fact, fact_count)
         if scatters and self.sparse:
             raise NotDistributable(
                 "fact-domain scatter in a sparse group-by")
         if joins and self.sparse:
             raise NotDistributable("equijoin in a sparse group-by")
-        # join expansion / selection buffers need the GLOBAL resolved
-        # cardinalities as per-shard bounds; resolve via the single-chip
-        # counting pre-pass (TODO: distributed counting pass)
-        self.join_sizes, self.full_fsel_sizes = {}, {}
-        if joins:
-            from ..engine.lower import CompiledQuery
+        # Dynamic-cardinality sizing (two-phase) WITHOUT materializing the
+        # full query on one chip (the distributed counting pre-pass):
+        #   * dynamic nodes inside full-width regions evaluate from columns
+        #     the plan replicates anyway — a pruned single-chip counting
+        #     pass over just those roots (same memory footprint as the
+        #     main distributed step)
+        #   * joins probed by shard-local rows are counted distributed
+        #     below (after the shard-compiler factory exists): one jitted
+        #     shard_map round per join, local probe vs the full right
+        #     side, match totals combined with psum, in dependency order
+        #     so later rounds compile against already-resolved sizes
+        if not hasattr(self, "join_sizes"):  # capacity retries keep sizes
+            self.join_sizes, self.full_fsel_sizes = {}, {}
+        from ..engine.lower import CompiledQuery, dynamic_nodes
 
-            cq = CompiledQuery(self.cfg, self.vexps, self.store)
-            self.join_sizes = cq.join_sizes
-            self.full_fsel_sizes = cq.fsel_sizes
+        dyn = dynamic_nodes(folds) if joins else []
+        if dyn and not self.join_sizes and full_roots:
+            pruned = CompiledQuery(self.cfg, full_roots, self.store)
+            self.join_sizes.update(pruned.join_sizes)
+            self.full_fsel_sizes.update(pruned.fsel_sizes)
+        pending_joins: Dict[tuple, tuple] = {}
+        for kind, v in dyn:
+            if kind != "join":
+                continue
+            key = (v.vx.lkeys.skey, v.vx.rkeys.skey)
+            if key in self.join_sizes:
+                continue
+            outer = v.vx.jside in (V.JOUTER_LEFT, V.JOUTER_RIGHT,
+                                   V.JOUTER_VALID)
+            prev = pending_joins.get(key)
+            pending_joins[key] = (v, outer or (prev[1] if prev else False))
 
         n = self.fact_count
         n_dev = self.mesh.devices.size
@@ -568,6 +592,43 @@ class AutoDistributed:
             c._start = start
             c._padded = padded_
             return c
+
+        def count_join_round(jnode: V.Vexp, outer: bool) -> int:
+            """One distributed counting round: the join's global match
+            total (psum of per-shard local-probe matches), used as the
+            static expansion-buffer bound everywhere the join expands."""
+            vxj = jnode.vx
+
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=tuple(in_specs), out_specs=P(),
+                     check_vma=False)
+            def count(*all_in):
+                arrays, counts = all_in[:-1], all_in[-1]
+                c = make_shard_compiler(arrays, counts)
+                og = _rowid_chain(vxj.lkeys, fact_count)
+                if og:
+                    lv = c._force(c.eval(vxj.lkeys))
+                    data = lv.data + (og * c._start).astype(lv.data.dtype)
+                    c.memo[vxj.lkeys.skey] = Val(
+                        data=_mask_tail(data, lv.valid, lv.length),
+                        valid=lv.valid, length=lv.length)
+                art = c._join_artifacts(vxj.lkeys, vxj.rkeys)
+                total = jnp.asarray(art["total"], jnp.int64)
+                if outer:
+                    lidx = jnp.arange(art["n"], dtype=jnp.int64)
+                    lmask = lidx < jnp.asarray(art["lvalid"], jnp.int64)
+                    total = total + jnp.sum(
+                        ((art["cnt"] == 0) & lmask).astype(jnp.int64))
+                return lax.psum(total, "d")
+
+            args = [self._shard(store.columns[nm]) for nm in fact_loads]
+            args += [jnp.asarray(store.columns[nm])
+                     for nm in dim_loads + extra_full]
+            cts = jnp.asarray([fact_count], jnp.int64)
+            return max(int(jax.jit(count)(*args, cts)), 1)
+
+        for key, (jnode, outerflag) in pending_joins.items():
+            self.join_sizes[key] = count_join_round(jnode, outerflag)
 
         @partial(jax.shard_map, mesh=self.mesh, in_specs=tuple(in_specs),
                  out_specs=(P("d"),) * (2 + len(folds_)), check_vma=False)

@@ -49,6 +49,47 @@ def test_auto_distributed_matches_single_chip(dist_setup, q):
     assert got == want
 
 
+@pytest.mark.parametrize("q", ["13", "17"])
+def test_counting_prepass_is_distributed(dist_setup, monkeypatch, q):
+    """Join-expansion buffer bounds come from the distributed counting
+    rounds (psum of per-shard local-probe matches), never from running the
+    WHOLE query on one chip — and they must equal the single-chip counts.
+    Q13 (rowid-probe outer join) and Q17 (join-expansion fold frame)."""
+    from mplan2vdl_tpu import mplan, passes, vir
+    from mplan2vdl_tpu.engine import lower
+    from mplan2vdl_tpu.fe import lexer, plan_parser
+    from mplan2vdl_tpu.parallel import auto
+
+    store, cfg, mesh = dist_setup
+    with open(os.path.join(TPCH10, f"{q}.sql.mplan")) as f:
+        text = f.read()
+    rel = plan_parser.parse(lexer.strip_plan_comments(text))
+    m = mplan.fuse_selects(mplan.push_fk_joins(
+        mplan.mplan_from_parse_tree(rel, cfg)))
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+
+    want = dict(lower.CompiledQuery(cfg, vexps, store).join_sizes)
+    assert want, "query must exercise join sizing"
+
+    seen_roots = []
+    orig = lower.CompiledQuery.__init__
+
+    def spy(self, cfg_, roots, store_, *a, **k):
+        seen_roots.append({v.skey for v in roots})
+        return orig(self, cfg_, roots, store_, *a, **k)
+
+    monkeypatch.setattr(lower.CompiledQuery, "__init__", spy)
+    dq = auto.distribute(cfg, store, vexps, mesh)
+
+    full_keys = {v.skey for v in vexps}
+    assert all(r != full_keys for r in seen_roots), \
+        "auto-distribution ran the full query single-chip"
+    shared = set(dq.join_sizes) & set(want)
+    assert shared, "distributed plan resolved no join sizes"
+    for key in shared:
+        assert dq.join_sizes[key] == want[key]
+
+
 def test_no_aggregate_reports_not_distributable(dist_setup):
     """A pure projection/join plan has no aggregate stage to shard."""
     from mplan2vdl_tpu import mplan, passes, vir
