@@ -11,7 +11,11 @@ Compile a plan to VDL text (the reference's only mode)::
 
 Run a plan on the TPU engine against a generated dataset::
 
-    python -m mplan2vdl_tpu.cli run QUERY.mplan --sf 0.01 [--cpu] [--decode]
+    python -m mplan2vdl_tpu run QUERY.mplan --sf 0.01 [--cpu] [--decode]
+
+Run distributed over an N-device mesh (virtual host devices under --cpu)::
+
+    python -m mplan2vdl_tpu run QUERY.mplan --cpu --devices 8
 
 Batch-compile a directory (the reference's ``genplans``)::
 
@@ -142,29 +146,61 @@ def cmd_explain(args):
 
 
 def cmd_run(args):
+    n_dev = getattr(args, "devices", 0) or 0
     if args.cpu:
+        if n_dev > 1 and "xla_force_host_platform_device_count" not in \
+                os.environ.get("XLA_FLAGS", ""):
+            # must land before jax initializes its backends
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={n_dev}")
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     from .engine import datagen
-    from .engine.lower import compile_plan_text
+    from .engine.lower import CompiledQuery, plan_to_vexps
 
-    store = datagen.generate(sf=args.sf, seed=args.seed)
+    store = datagen.generate(sf=args.sf, seed=args.seed,
+                             legacy_fk_names=args.legacy_fk_names)
     cfg = store.make_catalog(cross_product=args.use_cross_product)
     text = open(args.plan).read() if args.plan != "-" else sys.stdin.read()
-    cq = compile_plan_text(text, cfg, store)
+    vexps = plan_to_vexps(text, cfg)
+
+    runner, cq = None, None
+    if n_dev > 1:
+        import jax
+        from .parallel import auto, dist
+
+        devs = jax.devices()
+        if len(devs) < n_dev:
+            sys.exit(f"--devices {n_dev}: only {len(devs)} device(s) "
+                     "available (use --cpu for a virtual mesh)")
+        try:
+            dq = auto.distribute(cfg, store, vexps,
+                                 dist.make_mesh(devs[:n_dev]))
+            runner = dq.result
+        except auto.NotDistributable as e:
+            print(f"# not distributable ({e}); running single-chip",
+                  file=sys.stderr)
+    if runner is None:
+        cq = CompiledQuery(cfg, vexps, store)
+        runner = cq
     if getattr(args, "profile", None):
         import jax
 
         with jax.profiler.trace(args.profile):
-            res = cq()
+            res = runner()
         print(f"# profiler trace written to {args.profile}", file=sys.stderr)
     else:
-        res = cq()
+        res = runner()
     if getattr(args, "roofline", False):
-        rep = cq.cost_report(hbm_gbps=args.hbm_gbps)
-        for k, v in rep.items():
-            print(f"# {k}: {v}", file=sys.stderr)
+        if cq is None:
+            print("# --roofline accounts the single-chip program; "
+                  "ignored under --devices", file=sys.stderr)
+        else:
+            rep = cq.cost_report(hbm_gbps=args.hbm_gbps)
+            for k, v in rep.items():
+                print(f"# {k}: {v}", file=sys.stderr)
     if args.decode:
         cols = res.decoded(store)
     else:
@@ -204,9 +240,16 @@ def main(argv=None):
     pr.add_argument("--sf", type=float, default=0.01)
     pr.add_argument("--seed", type=int, default=7)
     pr.add_argument("--cpu", action="store_true")
+    pr.add_argument("--devices", type=int, default=0, metavar="N",
+                    help="distribute over an N-device mesh (with --cpu, "
+                         "spawns N virtual host devices); plans outside "
+                         "the distribution algebra fall back single-chip")
     pr.add_argument("--decode", action="store_true",
                     help="decode dictionary codes / dates / decimals")
     pr.add_argument("--use-cross-product", action="store_true")
+    pr.add_argument("--legacy-fk-names", action="store_true",
+                    help="name FK join-index columns %%<tab>_fkN (the "
+                         "monetpch/simple corpora's convention)")
     pr.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the run")
     pr.add_argument("--roofline", action="store_true",

@@ -919,10 +919,11 @@ def _children(vx: V.Vx) -> List[V.Vexp]:
     raise TypeError(vx)
 
 
-def compile_plan_text(text: str, cfg: Config, store: ColumnStore,
-                      cleanup: bool = True,
-                      push_joins: bool = False) -> CompiledQuery:
-    """mplan text -> CompiledQuery (the ``compile`` driver, MainFuns.hs:172-188).
+def plan_to_vexps(text: str, cfg: Config, cleanup: bool = True,
+                  push_joins: bool = False) -> List[V.Vexp]:
+    """mplan text -> engine vector IR (frontend half of ``compile``,
+    MainFuns.hs:172-186), shared by the single-chip and distributed
+    execution paths.
 
     ``push_joins`` mirrors the reference's optional ``-p`` rewrite
     (MainFuns.hs default False).  It hoists selects above FK joins — which
@@ -939,4 +940,12 @@ def compile_plan_text(text: str, cfg: Config, store: ColumnStore,
     vexps = vir.vexps_from_mplan(m, cfg)
     if cleanup:
         vexps = passes.engine_passes(vexps)
-    return CompiledQuery(cfg, vexps, store)
+    return vexps
+
+
+def compile_plan_text(text: str, cfg: Config, store: ColumnStore,
+                      cleanup: bool = True,
+                      push_joins: bool = False) -> CompiledQuery:
+    """mplan text -> CompiledQuery (the ``compile`` driver, MainFuns.hs:172-188)."""
+    return CompiledQuery(cfg, plan_to_vexps(text, cfg, cleanup, push_joins),
+                         store)

@@ -779,6 +779,16 @@ class AutoDistributed:
             cols.append((v.name, v.info.dtype, np.asarray(val.data)[:nv]))
         return cols
 
+    def result(self):
+        """Run and wrap the output like the single-chip engine's
+        ``QueryResult`` (same decoding / printing surface)."""
+        from ..engine.lower import QueryResult
+
+        cols = self()
+        return QueryResult(names=[nm for nm, _, _ in cols],
+                           dtypes=[dt for _, dt, _ in cols],
+                           columns=[c for _, _, c in cols])
+
     def _shard(self, arr: np.ndarray) -> jax.Array:
         buf = np.zeros(self.padded, dtype=arr.dtype)
         buf[:len(arr)] = arr

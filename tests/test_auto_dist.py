@@ -90,6 +90,19 @@ def test_counting_prepass_is_distributed(dist_setup, monkeypatch, q):
         assert dq.join_sizes[key] == want[key]
 
 
+def test_cli_run_devices_matches_single_chip(dist_setup, capsys):
+    """`run --devices 8` (the CLI's distributed mode) prints the same rows
+    as the single-chip engine."""
+    from mplan2vdl_tpu import cli
+
+    plan = os.path.join(TPCH10, "03.sql.mplan")
+    cli.main(["run", plan, "--cpu"])
+    single = sorted(capsys.readouterr().out.strip().splitlines())
+    cli.main(["run", plan, "--cpu", "--devices", "8"])
+    dist_rows = sorted(capsys.readouterr().out.strip().splitlines())
+    assert dist_rows == single
+
+
 def test_no_aggregate_reports_not_distributable(dist_setup):
     """A pure projection/join plan has no aggregate stage to shard."""
     from mplan2vdl_tpu import mplan, passes, vir

@@ -118,6 +118,20 @@ def test_cli_smoke(tmp_path, capsys):
     assert "digraph" in capsys.readouterr().out
 
 
+def test_module_entry(monkeypatch, capsys):
+    """``python -m mplan2vdl_tpu`` reaches the CLI (package __main__)."""
+    import runpy
+    import sys
+
+    B = "/root/reference/tests/tpch10noorder"
+    monkeypatch.setattr(sys, "argv", [
+        "mplan2vdl_tpu", "compile", f"{B}/06.sql.mplan",
+        "-b", f"{B}/bounds.csv", "-t", f"{B}/storage.csv",
+        "-s", f"{B}/schema.msqldump", "--dictionary", f"{B}/dictionary.csv"])
+    runpy.run_module("mplan2vdl_tpu", run_name="__main__")
+    assert "FoldSum" in capsys.readouterr().out
+
+
 def test_agg_strategies_conformance(capsys):
     """Reference aggregation strategies shape the emitted VDL
     (Vlite.hs:1076-1098, make2LevelFold :1173-1194): --agghierarchical
