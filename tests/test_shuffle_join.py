@@ -1,0 +1,122 @@
+"""Distributed shuffle equijoin (range-partitioned build + probe routing)
+vs a numpy oracle: exact pair multisets, per-row counts (semi/anti/outer
+derivation), skew-forced capacity retries, and invalid-row handling."""
+
+import numpy as np
+import pytest
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    import jax
+    from mplan2vdl_tpu.parallel import dist
+
+    return dist.make_mesh(jax.devices()[:N_DEV])
+
+
+def _sharded(mesh, arr, shard_rows, fill):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    buf = np.full(N_DEV * shard_rows, fill, dtype=np.int64)
+    buf[:len(arr)] = arr
+    return jax.device_put(buf, NamedSharding(mesh, P("d")))
+
+
+def _oracle_pairs(lk, rk):
+    from collections import defaultdict
+
+    where = defaultdict(list)
+    for j, k in enumerate(rk):
+        where[int(k)].append(j)
+    pairs = [(i, j) for i, k in enumerate(lk) for j in where.get(int(k), ())]
+    cnt = np.array([len(where.get(int(k), ())) for k in lk], np.int64)
+    return sorted(pairs), cnt
+
+
+def _run_join(mesh, lk, rk, shard_rows_l, shard_rows_r, key_bounds):
+    from mplan2vdl_tpu.parallel.shuffle_join import (SENT_L, SENT_R,
+                                                     ShuffleJoin)
+
+    lkeys = _sharded(mesh, lk, shard_rows_l, int(SENT_L))
+    rkeys = _sharded(mesh, rk, shard_rows_r, int(SENT_R))
+    rpos = _sharded(mesh, np.arange(len(rk)), shard_rows_r, 0)
+    sj = ShuffleJoin(mesh=mesh, shard_rows_l=shard_rows_l,
+                     shard_rows_r=shard_rows_r, key_bounds=key_bounds)
+    lidx, ok, cnt, (rpos_out,) = sj(lkeys, rkeys, [rpos])
+    got_pairs = sorted(
+        (int(s * shard_rows_l + lidx[s, k]), int(rpos_out[s, k]))
+        for s in range(N_DEV) for k in np.nonzero(ok[s])[0])
+    got_cnt = cnt.reshape(-1)[:len(lk)]
+    return got_pairs, got_cnt, sj
+
+
+def test_random_inner_join_matches_oracle(mesh8):
+    rng = np.random.default_rng(0)
+    nl, nr, hi = 903, 411, 257
+    lk = rng.integers(0, hi, nl).astype(np.int64)
+    rk = rng.integers(0, hi, nr).astype(np.int64)
+    srl, srr = -(-nl // N_DEV), -(-nr // N_DEV)
+    got_pairs, got_cnt, _ = _run_join(mesh8, lk, rk, srl, srr, (0, hi))
+    # the contiguous-pad layout makes shard*srl+local == the original index
+    want_pairs, want_cnt = _oracle_pairs(lk, rk)
+    assert got_pairs == want_pairs
+    np.testing.assert_array_equal(got_cnt, want_cnt)
+
+
+def test_semi_anti_outer_counts(mesh8):
+    rng = np.random.default_rng(1)
+    nl, nr, hi = 240, 100, 64
+    lk = rng.integers(0, hi, nl).astype(np.int64)
+    rk = rng.integers(0, hi // 2, nr).astype(np.int64)  # half never match
+    srl, srr = nl // N_DEV, -(-nr // N_DEV)
+    _, got_cnt, _ = _run_join(mesh8, lk, rk, srl, srr, (0, hi))
+    _, want_cnt = _oracle_pairs(lk, rk)
+    np.testing.assert_array_equal(got_cnt, want_cnt)
+    # semi = rows with matches, anti = without, outer = pairs + unmatched
+    assert (got_cnt > 0).sum() == (want_cnt > 0).sum()
+    assert (got_cnt == 0).sum() == (want_cnt == 0).sum()
+
+
+def test_skewed_keys_force_capacity_retry(mesh8):
+    """Every key identical: one owner receives EVERYTHING — the first
+    capacity guess overflows and the doubling retry path must converge."""
+    nl = nr = 160
+    lk = np.full(nl, 7, np.int64)
+    rk = np.full(nr, 7, np.int64)
+    srl = srr = nl // N_DEV
+    got_pairs, got_cnt, sj = _run_join(mesh8, lk, rk, srl, srr, (0, 4096))
+    assert sj.cap_scale > 1, "skew should have forced at least one retry"
+    assert len(got_pairs) == nl * nr
+    np.testing.assert_array_equal(got_cnt, np.full(nl, nr))
+
+
+def test_invalid_rows_are_ignored(mesh8):
+    from mplan2vdl_tpu.parallel.shuffle_join import SENT_L, SENT_R
+
+    nl, nr = 80, 80
+    lk = np.arange(nl, dtype=np.int64)
+    rk = np.arange(nr, dtype=np.int64)
+    lk[::3] = int(SENT_L)  # masked probe rows
+    rk[::5] = int(SENT_R)  # masked build rows
+    srl = srr = nl // N_DEV
+    got_pairs, got_cnt, _ = _run_join(mesh8, lk, rk, srl, srr, (0, nl))
+    valid = [(i, i) for i in range(nl) if i % 3 != 0 and i % 5 != 0]
+    assert got_pairs == sorted(valid)
+    want = np.array([1 if (i % 3 and i % 5) else 0 for i in range(nl)])
+    np.testing.assert_array_equal(got_cnt, np.where(lk < nl, want, 0))
+
+
+def test_negative_and_offset_key_bounds(mesh8):
+    """key_bounds need not start at zero (catalog bounds rarely do)."""
+    rng = np.random.default_rng(2)
+    nl, nr = 96, 96
+    lk = rng.integers(-50, 50, nl).astype(np.int64)
+    rk = rng.integers(-50, 50, nr).astype(np.int64)
+    srl = srr = nl // N_DEV
+    got_pairs, got_cnt, _ = _run_join(mesh8, lk, rk, srl, srr, (-50, 50))
+    want_pairs, want_cnt = _oracle_pairs(lk, rk)
+    assert got_pairs == want_pairs
+    np.testing.assert_array_equal(got_cnt, want_cnt)
