@@ -18,18 +18,31 @@ the plan qualifies, runs the pre-aggregate stage fully distributed:
     a fresh Compiler memo, which evaluates the remaining group-level
     expressions (avg divisions, outer folds, key reuse) unchanged
 
-Frames that do not shard elementwise are routed through full-width
+Equijoins run one of two ways:
+
+  * PARTITIONED SHUFFLE JOIN (default for fact-frame right sides —
+    Q2/Q17/Q21-class self-joins; see _plan_part_joins and
+    parallel/shuffle_join.py): both sides evaluate shard-locally, rows
+    exchange by key range over ICI, matched pairs + right-value payload
+    columns route back to the probe shard.  Exchange capacities are
+    EXACT, from two small counting rounds (destination histograms, then
+    a counts-only exchange).  MPLAN2VDL_NO_PART_JOIN=1 disables.
+  * replicated right side (everything else): the right side evaluates at
+    full width on every shard and the local probe binary-searches it,
+    with expansion buffers sized by a DISTRIBUTED counting pre-pass (one
+    shard_map round per join: psum of per-shard local-probe match
+    counts) — the full query is never materialized on a single chip.
+
+Other frames that do not shard elementwise are routed through full-width
 evaluation (identical on every shard, from replicated columns):
 fact-domain mask scatters slice per-shard row windows; gathers whose
-positions live in replicated frames, and join right-key vectors,
-evaluate whole; equijoins probe shard-local left keys against the
-full right side, with join-expansion buffers sized by a DISTRIBUTED
-counting pre-pass (one shard_map round per join: psum of per-shard
-local-probe match counts) — the full query is never materialized on a
-single chip.  Fact ROW-POSITION values (representative-row picks,
-row-id group keys, rowid join keys) evaluate locally and are globalized
-by ``rstep * shard_start`` at the fold/join boundary; positions that
-leak through unrecognized shapes disqualify the plan.
+positions live in replicated frames evaluate whole.  Fact ROW-POSITION
+values (representative-row picks, row-id group keys, rowid join keys,
+synthesized row identities over derived frames) evaluate locally and are
+globalized by ``rstep * shard_start`` at the fold/join/exchange boundary
+— EXCEPT chains passing through full-width or payload nodes, whose
+values are global already; positions that leak through unrecognized
+shapes disqualify the plan.
 
 All 22 TPC-H noorder queries distribute row-exactly under this algebra
 (tests/test_auto_dist.py).  Disqualified (single-chip fallback): plans
@@ -39,6 +52,7 @@ with no aggregate stage, SortPerm inside the aggregate stage, sparse
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -57,8 +71,11 @@ from .. import vir as V
 from ..catalog import Config
 from ..engine.columnstore import ColumnStore
 from ..engine.kernels import segred
-from ..engine.lower import (Compiler, Val, _children, _mask_tail, dtype_for)
+from ..engine.lower import (Compiler, Val, _children, _mask_tail,
+                            _sel_positions, dtype_for)
 from ..names import Name
+from .shuffle_join import (SENT_L, SENT_R, dest_histogram, owner_dest,
+                           shard_join_count_stats, shard_shuffle_join)
 
 
 class NotDistributable(Exception):
@@ -148,6 +165,42 @@ def _rowid_chain(v: V.Vexp, fact_count: int):
     return None
 
 
+def _frame_pos_chain(v: V.Vexp, fact_count: int):
+    """Superset of ``_rowid_chain``: also accepts positions of DERIVED
+    local frames — ``RangeV(rmin, rstep!=0)`` over ANY fact-frame-bounded
+    ref (synthesized row identities over compacted frames, the reference's
+    ``identity()`` row-ids).  Globalizing by ``rstep*shard_start`` keeps
+    them distinct, in-bounds (local positions < local valid rows), and
+    order-isomorphic with the single-chip values — sufficient for GROUP
+    IDS and partition keys, NOT for value-exact uses (join keys, values
+    gathered through later)."""
+    vx = v.vx
+    if (isinstance(vx, V.RangeV) and vx.rstep != 0
+            and vx.rref.info.count == fact_count):
+        return vx.rstep
+    if isinstance(vx, V.Fold) and vx.foldop == V.FSEL:
+        return 1  # compaction positions ARE local frame positions
+    if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+        return _frame_pos_chain(vx.shsource, fact_count)
+    if isinstance(vx, V.Partition):
+        return _frame_pos_chain(vx.pdata, fact_count)
+    return None
+
+
+def _chain_through(v: V.Vexp, skeys) -> bool:
+    """True when the position/rowid CHAIN from ``v`` passes through one of
+    ``skeys`` (intercepted payload gathers deliver already-globalized
+    values — a second rstep*shard_start would corrupt them)."""
+    if v.skey in skeys:
+        return True
+    vx = v.vx
+    if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+        return _chain_through(vx.shsource, skeys)
+    if isinstance(vx, V.Partition):
+        return _chain_through(vx.pdata, skeys)
+    return False
+
+
 def _rowid_leaks(v: V.Vexp, fact_count: int, allow_chain: bool = True) -> bool:
     """True if fact row-position VALUES flow into this expression through
     anything other than the pure chain ``_rowid_chain`` recognises (e.g.
@@ -187,7 +240,237 @@ def _rowid_leaks(v: V.Vexp, fact_count: int, allow_chain: bool = True) -> bool:
     return go(v, allow_chain)
 
 
-def _plan_regions(folds, fact: str, fact_count: int):
+_PART_SIDES = frozenset((V.JLEFT, V.JRIGHT, V.JSEMI, V.JANTI))
+
+
+def _plan_part_joins(folds, fact: str, fact_count: int):
+    """Joins whose RIGHT side is a pure fact-frame chain run as DISTRIBUTED
+    SHUFFLE JOINS (parallel/shuffle_join.py) instead of replicating the
+    right side to every shard: both sides evaluate shard-locally, rows
+    exchange by key range, and matches route back to the probe shard.
+    This removes the full-width fact-column replication that the Q2/Q17/
+    Q21-class self-joins otherwise force (their right sides ARE fact-frame
+    expressions).
+
+    Right-side VALUES reach the probe shard as PAYLOAD columns riding the
+    exchange.  A consumer gather whose source holds plain values ships
+    directly; position-valued sources (FSel compaction positions, RangeV
+    row identities — the reference's ``identity()``) are handled by
+    GATHER-CHAIN COMPOSITION on the build side — ``S1[s0[jr]]`` becomes
+    the shipped value ``(S1 o s0)`` evaluated where both frames are local
+    — until the composed value is either plain or consumed only by
+    grouping contexts (partition keys / fold group ids), where a
+    distinctness-preserving globalization (+rstep*shard_start) suffices.
+
+    Partitionable when every node over a (lkeys, rkeys) pair is
+    left/right/semi/anti (outer stays replicated), the key chains are
+    'L'-pure and value-exact, and every 'right' output resolves through
+    the composition rules above.
+
+    Returns (part_joins: key -> spec, part_pay: intercepted gather skey ->
+    (key, payload index), part_skip: gather skeys the region planner must
+    not classify (their values come from the exchange), part_roots: chain
+    sources the region planner still walks for scatter/sort checks).
+    """
+    nodes_seen, parents, joins_by_key = set(), {}, {}
+    order = []  # post-order of join keys (dependency order for sizing)
+
+    def walk(x: V.Vexp):
+        if x.skey in nodes_seen:
+            return
+        nodes_seen.add(x.skey)
+        for c in _children(x.vx):
+            walk(c)
+            parents.setdefault(c.skey, []).append(x)
+        if isinstance(x.vx, V.JoinIndex):
+            key = (x.vx.lkeys.skey, x.vx.rkeys.skey)
+            if key not in joins_by_key:
+                joins_by_key[key] = []
+                order.append(key)
+            joins_by_key[key].append(x)
+
+    for f in folds:
+        walk(f)
+
+    kmemo = {}
+
+    def index_space(x: V.Vexp) -> bool:
+        """Values are LOCAL row positions of some local frame (selection
+        vectors, row identities, and their compositions)."""
+        vx = x.vx
+        if isinstance(vx, V.Fold) and vx.foldop == V.FSEL:
+            return True
+        if isinstance(vx, V.RangeV):
+            return (vx.rstep == 0) or (vx.rstep == 1 and vx.rmin == 0)
+        if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+            return index_space(vx.shsource) and index_space(vx.shpos)
+        if isinstance(vx, V.JoinIndex):
+            return vx.jside in (V.JLEFT, V.JSEMI, V.JANTI)
+        return False
+
+    def klass(x: V.Vexp):
+        """'L' = pure fact-frame chain (shard-local eval == global eval
+        restricted to local rows); 'R' = fully replicated; None = neither."""
+        if x.skey in kmemo:
+            return kmemo[x.skey]
+        vx = x.vx
+        if isinstance(vx, V.Load):
+            r = "L" if vx.name[0] == fact else "R"
+        elif isinstance(vx, V.RangeC):
+            r = "L" if vx.rcount == fact_count else "R"
+        elif isinstance(vx, V.RangeV):
+            r = klass(vx.rref)
+        elif isinstance(vx, V.Binop):
+            kl, kr = klass(vx.left), klass(vx.right)
+            r = kl if kl == kr else None
+        elif isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+            ks, kp = klass(vx.shsource), klass(vx.shpos)
+            if kp == "L" and ks == "R":
+                r = "L"  # fk gather into a replicated dim frame
+            elif kp == "L" and ks == "L" and index_space(vx.shpos):
+                r = "L"  # selection composition within the local frame
+            elif kp == "R" and ks == "R":
+                r = "R"
+            else:
+                r = None
+        elif isinstance(vx, V.Fold) and vx.foldop == V.FSEL:
+            r = klass(vx.fdata)
+        elif isinstance(vx, V.Partition):
+            r = klass(vx.pdata) if klass(vx.pivots) == "R" else None
+        elif isinstance(vx, (V.Like, V.DictMap)):
+            r = klass(vx.ldata)
+        elif isinstance(vx, V.VShuffle):
+            r = klass(vx.varg)
+        else:  # aggregates, scatters, sorts, joins, cross products
+            r = None
+        kmemo[x.skey] = r
+        return r
+
+    def has_pos_values(x: V.Vexp) -> bool:
+        """Frame positions buried INSIDE value arithmetic (bit-packed
+        composites etc.) — not salvageable by composition/globalization."""
+        seen = set()
+
+        def go(y: V.Vexp) -> bool:
+            if y.skey in seen:
+                return False
+            seen.add(y.skey)
+            vy = y.vx
+            if isinstance(vy, V.RangeV) and vy.rstep != 0:
+                return True
+            if isinstance(vy, V.Fold) and vy.foldop == V.FSEL:
+                return True
+            if isinstance(vy, V.Shuffle) and vy.shop == V.GATHER:
+                return go(vy.shsource)
+            if isinstance(vy, V.JoinIndex):
+                return False
+            return any(go(c) for c in _children(vy))
+
+        return go(x)
+
+    def value_kind(src: V.Vexp):
+        """'value' ships as-is; 'exact' = raw rowid chain (+og exact);
+        'pos' = local frame positions (compose deeper, or globalize for
+        grouping-only consumers); None = reject."""
+        if _rowid_chain(src, fact_count) is not None:
+            return "exact"
+        if index_space(src) or _frame_pos_chain(src, fact_count) is not None:
+            return "pos"
+        if has_pos_values(src):
+            return None
+        return "value"
+
+    part_joins, part_pay, part_skip, part_roots = {}, {}, set(), []
+    for key in order:
+        jnodes = joins_by_key[key]
+        if not {n.vx.jside for n in jnodes} <= _PART_SIDES:
+            continue
+        j0 = jnodes[0].vx
+        lk, rk = j0.lkeys, j0.rkeys
+        if lk.info.count != fact_count or klass(rk) != "L":
+            continue
+        # join keys must be VALUE-exact after shard-local eval
+        if any(value_kind(k) not in ("value", "exact") for k in (lk, rk)):
+            continue
+
+        pays, pay_map = [], {}
+        new_pay, new_skip, new_roots = {}, set(), []
+
+        def ship(gnode: V.Vexp, chain: tuple, loose: bool) -> None:
+            sig = (chain, loose)
+            if sig not in pay_map:
+                pay_map[sig] = len(pays)
+                pays.append(dict(chain=list(chain), loose=loose))
+            new_pay[gnode.skey] = pay_map[sig]
+            new_skip.add(gnode.skey)
+
+        def visit(gnode: V.Vexp, chain: tuple) -> bool:
+            """gnode's value = composition of ``chain`` at the join's
+            right outputs.  Ship it, compose deeper, or reject."""
+            src = chain[-1]
+            if klass(src) != "L":
+                return False
+            if len(chain) == 1 and src.info.count != rk.info.count:
+                return False
+            kind = value_kind(src)
+            if kind is None:
+                return False
+            if kind in ("value", "exact"):
+                ship(gnode, chain, loose=False)
+                return True
+            # 'pos': every consumer must compose deeper or only group by it
+            shipped_loose = False
+            for q in parents.get(gnode.skey, []):
+                qx = q.vx
+                if (isinstance(qx, V.Shuffle) and qx.shop == V.GATHER
+                        and qx.shpos.skey == gnode.skey):
+                    new_skip.add(gnode.skey)
+                    if not visit(q, chain + (qx.shsource,)):
+                        return False
+                elif ((isinstance(qx, V.Partition)
+                       and qx.pdata.skey == gnode.skey)
+                      or (isinstance(qx, V.Fold)
+                          and qx.fgroups.skey == gnode.skey)):
+                    if not shipped_loose:
+                        ship(gnode, chain, loose=True)
+                        shipped_loose = True
+                else:
+                    return False
+            return True
+
+        ok = True
+        for n in jnodes:
+            if n.vx.jside != V.JRIGHT:
+                continue
+            for p in parents.get(n.skey, []):
+                if not (isinstance(p.vx, V.Shuffle)
+                        and p.vx.shop == V.GATHER
+                        and p.vx.shpos.skey == n.skey):
+                    ok = False
+                    break
+                if not visit(p, (p.vx.shsource,)):
+                    ok = False
+                    break
+            if not ok:
+                break
+        if not ok:
+            continue
+        for spec in pays:
+            new_roots.extend(spec["chain"])
+        for skey, idx in new_pay.items():
+            part_pay[skey] = (key, idx)
+        part_skip |= new_skip
+        part_roots.extend(new_roots + [lk, rk])
+        klo = min(lk.info.bounds[0], rk.info.bounds[0])
+        khi = max(lk.info.bounds[1], rk.info.bounds[1]) + 1
+        part_joins[key] = dict(lkeys=lk, rkeys=rk, pays=pays,
+                               bounds=(int(klo), int(khi)), caps=None)
+    return part_joins, part_pay, part_skip, part_roots
+
+
+def _plan_regions(folds, fact: str, fact_count: int,
+                  part_keys=frozenset(), part_skip=frozenset(),
+                  part_roots=()):
     """Classify each fold-subtree node's FRAME as shard-LOCAL (fact rows,
     or frames derived from them: selections, join expansions of a local
     probe) or REPLICATED (dim tables, and anything forced to full-width
@@ -254,6 +537,11 @@ def _plan_regions(folds, fact: str, fact_count: int):
                 raise NotDistributable(
                     "scatter from shard-local rows into a replicated frame")
         if isinstance(vx, V.JoinIndex):
+            if (vx.lkeys.skey, vx.rkeys.skey) in part_keys:
+                # distributed shuffle join: BOTH sides are shard-local
+                walk(vx.lkeys)
+                walk(vx.rkeys)
+                return
             if loc(vx.lkeys) == "R":
                 # both sides replicated: the whole join is shard-invariant
                 replicate[x.skey] = x
@@ -266,6 +554,11 @@ def _plan_regions(folds, fact: str, fact_count: int):
             walk(vx.lkeys)
             return
         if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+            if x.skey in part_skip:
+                # gather in a partitioned join's right-value composition:
+                # its value comes from the exchange (payload column); its
+                # chain sources are walked via part_roots
+                return
             sl, pl = loc(vx.shsource), loc(vx.shpos)
             if sl == "L" and pl == "R":
                 if vx.shsource.info.count != fact_count:
@@ -289,6 +582,8 @@ def _plan_regions(folds, fact: str, fact_count: int):
 
     for f in folds:
         walk(f)
+    for r in part_roots:  # partitioned joins' key/payload chains
+        walk(r)
     # full-width columns: every fact column read under a full-eval region
     full_roots = [r for s in scatters.values()
                   for r in (s.vx.shsource, s.vx.shpos, s.vx.shshape)]
@@ -334,6 +629,7 @@ class _ShardCompiler(Compiler):
         self.fullsrc_skeys = frozenset()
         self.full_tables = {}
         self.full_fsel_sizes = {}
+        self.part_joins, self.part_pay, self.n_dev = {}, {}, 1
         self._full_c = None
 
     def _full_eval(self, v: V.Vexp) -> Val:
@@ -357,12 +653,102 @@ class _ShardCompiler(Compiler):
         return Val(data=_mask_tail(win, self.local_valid, self._shard_rows),
                    valid=self.local_valid, length=self._shard_rows)
 
+    def _keyed_local(self, vexp: V.Vexp, sent, loose: bool = False):
+        """Shard-local int64 key/payload vector for the shuffle join:
+        invalid tail -> sentinel, rowid chains globalized (``loose`` also
+        globalizes derived-frame position chains — distinctness-preserving
+        payloads, see _frame_pos_chain)."""
+        skip = (set(self.part_pay) | self.fullsrc_skeys
+                | self.replicate_skeys | self.scatter_skeys)
+        og = None if _chain_through(vexp, skip) else \
+            (_frame_pos_chain if loose else _rowid_chain)(
+                vexp, self.fact_count)
+        val = self._force(self.eval(vexp))
+        data = val.data.astype(jnp.int64)
+        if og:
+            data = data + og * self._start
+        idx = jnp.arange(val.length, dtype=jnp.int64)
+        return jnp.where(idx < jnp.asarray(val.valid, jnp.int64), data, sent)
+
+    def _payload(self, spec) -> jnp.ndarray:
+        """One payload column, aligned with the local right frame: the
+        gather-chain composition evaluated where all frames are local,
+        then (for position-valued results) globalized by rstep*start."""
+        chain = spec["chain"]
+        val = self._force(self.eval(chain[0]))
+        data = val.data.astype(jnp.int64)
+        for s in chain[1:]:
+            sv = self._force(self.eval(s))
+            data = sv.data[jnp.clip(data, 0, sv.length - 1)].astype(
+                jnp.int64)
+        og = (_frame_pos_chain if spec["loose"] else _rowid_chain)(
+            chain[-1], self.fact_count)
+        if og:
+            data = data + og * self._start
+        return data
+
+    def _part_join_art(self, key):
+        """Run the distributed shuffle join for one (lkeys, rkeys) pair —
+        once, shared by every side node and payload gather over it."""
+        hit = self.join_cache.get(("part",) + key)
+        if hit is not None:
+            return hit
+        pj = self.part_joins[key]
+        caps = pj["caps"]
+        lk = self._keyed_local(pj["lkeys"], SENT_L)
+        rk = self._keyed_local(pj["rkeys"], SENT_R)
+        pays = [self._payload(spec) for spec in pj["pays"]]
+        r = shard_shuffle_join(
+            lk, rk, pays, key_lo=pj["bounds"][0], key_hi=pj["bounds"][1],
+            n_dev=self.n_dev, cap_r=caps["cap_r"], cap_l=caps["cap_l"],
+            cap_pairs=caps["cap_pairs"])
+        sel = _sel_positions(r["pair_ok"])[:caps["cap_exp"]]
+        npair = jnp.sum(r["pair_ok"].astype(jnp.int64))
+        lval = self._force(self.eval(pj["lkeys"]))
+        art = dict(lidx=r["lidx"][sel], pays=[p[sel] for p in r["payloads"]],
+                   cnt=r["cnt"], npair=npair, nl=lval.length,
+                   lvalid=lval.valid, cap_exp=caps["cap_exp"])
+        self.join_cache[("part",) + key] = art
+        return art
+
     def _eval(self, v: V.Vexp):
         vx = v.vx
         if v.skey in self.scatter_skeys:
             return self._full_width_window(v)
         if v.skey in self.replicate_skeys:
             return self._full_eval(v)
+        if v.skey in self.part_pay:
+            # right-value gather of a partitioned join: the value arrived
+            # as a payload column aligned with the local expansion rows
+            key, i = self.part_pay[v.skey]
+            art = self._part_join_art(key)
+            dt = dtype_for(v.info)
+            data = _mask_tail(art["pays"][i].astype(dt), art["npair"],
+                              art["cap_exp"])
+            return Val(data=data, valid=art["npair"],
+                       length=art["cap_exp"])
+        if (isinstance(vx, V.JoinIndex)
+                and (vx.lkeys.skey, vx.rkeys.skey) in self.part_joins):
+            key = (vx.lkeys.skey, vx.rkeys.skey)
+            art = self._part_join_art(key)
+            dt = dtype_for(v.info)
+            if vx.jside == V.JLEFT:
+                data = _mask_tail(art["lidx"].astype(dt), art["npair"],
+                                  art["cap_exp"])
+                return Val(data=data, valid=art["npair"],
+                           length=art["cap_exp"])
+            if vx.jside in (V.JSEMI, V.JANTI):
+                idx = jnp.arange(art["nl"], dtype=jnp.int64)
+                lmask = idx < jnp.asarray(art["lvalid"], jnp.int64)
+                has = art["cnt"] > 0
+                keep = (has if vx.jside == V.JSEMI else ~has) & lmask
+                sel = _sel_positions(keep)
+                nz = jnp.sum(keep.astype(jnp.int64))
+                return Val(data=_mask_tail(sel.astype(dt), nz, art["nl"]),
+                           valid=nz, length=art["nl"])
+            raise RuntimeError(
+                f"partitioned join side {vx.jside} must be consumed "
+                "through payload gathers")
         if v.skey in self.fullsrc_skeys:
             # positions are shard-local but their VALUES index the full
             # right frame of a join ('right' outputs): full-width source
@@ -476,8 +862,20 @@ class AutoDistributed:
         self.folds = folds
         self.domain = domain
 
+        # fact-frame right sides run as distributed shuffle joins (range-
+        # partitioned build + probe routing) instead of replicating the
+        # right side; MPLAN2VDL_NO_PART_JOIN=1 forces the replicated path
+        part_joins, part_pay = {}, {}
+        part_skip, part_roots = frozenset(), ()
+        if joins and not self.sparse and os.environ.get(
+                "MPLAN2VDL_NO_PART_JOIN", "0") in ("", "0"):
+            part_joins, part_pay, part_skip, part_roots = _plan_part_joins(
+                folds, self.fact, fact_count)
+        self.part_joins, self.part_pay = part_joins, part_pay
+
         scatters, replicate, fullsrc, extra_full, full_roots = _plan_regions(
-            folds, self.fact, fact_count)
+            folds, self.fact, fact_count, frozenset(part_joins),
+            frozenset(part_skip), tuple(part_roots))
         if scatters and self.sparse:
             raise NotDistributable(
                 "fact-domain scatter in a sparse group-by")
@@ -508,7 +906,7 @@ class AutoDistributed:
             if kind != "join":
                 continue
             key = (v.vx.lkeys.skey, v.vx.rkeys.skey)
-            if key in self.join_sizes:
+            if key in self.join_sizes or key in part_joins:
                 continue
             outer = v.vx.jside in (V.JOUTER_LEFT, V.JOUTER_RIGHT,
                                    V.JOUTER_VALID)
@@ -533,6 +931,7 @@ class AutoDistributed:
         replicate_keys_ = self.replicate_skeys
         fullsrc_keys_ = self.fullsrc_skeys
         join_sizes_, full_fsel_ = self.join_sizes, self.full_fsel_sizes
+        part_joins_, part_pay_ = self.part_joins, self.part_pay
         padded_ = self.padded
         cfg, store, fact_count = self.cfg, self.store, self.fact_count
         n_dev_ = self.mesh.devices.size
@@ -548,12 +947,25 @@ class AutoDistributed:
         # takes the FIRST row in row order) combines with min over the
         # globalized ids.  Row ids leaking through unrecognized shapes
         # (composite bit-packs) disqualify.
+        # nodes whose VALUES are already global on every shard: full-width
+        # evaluations (scatter windows, replicated frames, fullsrc gather
+        # sources) and partitioned-join payload gathers (globalized at the
+        # exchange) — position chains passing through them must NOT get a
+        # second rstep*shard_start
+        global_vals = frozenset(scatter_keys_ | replicate_keys_
+                                | fullsrc_keys_ | set(part_pay_))
         off_g, off_d = [], []
         for f in folds_:
-            og = _rowid_chain(f.vx.fgroups, fact_count)
-            if og is None and _rowid_leaks(f.vx.fgroups, fact_count):
+            # group keys are a DISTINCTNESS context: derived-frame position
+            # chains globalize too (full-width frames are global already)
+            full_g = _chain_through(f.vx.fgroups, global_vals)
+            og = None if full_g else _frame_pos_chain(f.vx.fgroups,
+                                                      fact_count)
+            if og is None and not full_g and _rowid_leaks(
+                    f.vx.fgroups, fact_count):
                 raise NotDistributable("row-id values leak into group keys")
-            od = _rowid_chain(f.vx.fdata, fact_count)
+            od = None if _chain_through(f.vx.fdata, global_vals) \
+                else _rowid_chain(f.vx.fdata, fact_count)
             if od is None and _rowid_leaks(f.vx.fdata, fact_count):
                 raise NotDistributable("row-id values leak into fold data")
             if f.vx.fmask is not None and _rowid_leaks(
@@ -591,6 +1003,9 @@ class AutoDistributed:
                              zip(dim_loads + extra_full, arrays[nf:])}
             c._start = start
             c._padded = padded_
+            c.part_joins = part_joins_
+            c.part_pay = part_pay_
+            c.n_dev = n_dev_
             return c
 
         def count_join_round(jnode: V.Vexp, outer: bool) -> int:
@@ -605,7 +1020,11 @@ class AutoDistributed:
             def count(*all_in):
                 arrays, counts = all_in[:-1], all_in[-1]
                 c = make_shard_compiler(arrays, counts)
-                og = _rowid_chain(vxj.lkeys, fact_count)
+                og = None if _chain_through(
+                    vxj.lkeys, frozenset(set(fullsrc_keys_)
+                                         | set(replicate_keys_)
+                                         | set(scatter_keys_))) \
+                    else _rowid_chain(vxj.lkeys, fact_count)
                 if og:
                     lv = c._force(c.eval(vxj.lkeys))
                     data = lv.data + (og * c._start).astype(lv.data.dtype)
@@ -629,6 +1048,71 @@ class AutoDistributed:
 
         for key, (jnode, outerflag) in pending_joins.items():
             self.join_sizes[key] = count_join_round(jnode, outerflag)
+
+        _global_vals = frozenset(set(scatter_keys_) | set(replicate_keys_)
+                                 | set(fullsrc_keys_) | set(part_pay_))
+
+        def _keyed(c, vexp, sent):
+            """Shard-local int64 key vector: invalid tail -> sentinel,
+            rowid-chain values globalized by rstep*shard_start (values
+            arriving from full-width frames are global already)."""
+            og = None if _chain_through(vexp, _global_vals) \
+                else _rowid_chain(vexp, fact_count)
+            val = c._force(c.eval(vexp))
+            data = val.data.astype(jnp.int64)
+            if og:
+                data = data + og * c._start
+            idx = jnp.arange(val.length, dtype=jnp.int64)
+            return jnp.where(idx < jnp.asarray(val.valid, jnp.int64),
+                             data, sent)
+
+        def part_join_caps(pj) -> dict:
+            """Two counting rounds -> EXACT static exchange capacities:
+            round A = per-destination histograms of both key vectors
+            (cap_l/cap_r); round B = the exchange itself, counts only
+            (cap_pairs = largest (owner, source-shard) match block,
+            cap_exp = largest per-probe-shard expansion)."""
+            lk_v, rk_v = pj["lkeys"], pj["rkeys"]
+            klo, khi = pj["bounds"]
+            step_args = [self._shard(store.columns[nm]) for nm in fact_loads]
+            step_args += [jnp.asarray(store.columns[nm])
+                          for nm in dim_loads + extra_full]
+            step_args += [jnp.asarray([fact_count], jnp.int64)]
+
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=tuple(in_specs), out_specs=(P(),) * 2,
+                     check_vma=False)
+            def hist(*all_in):
+                c = make_shard_compiler(all_in[:-1], all_in[-1])
+                hl = dest_histogram(owner_dest(
+                    _keyed(c, lk_v, SENT_L), klo, khi, n_dev_), n_dev_)
+                hr = dest_histogram(owner_dest(
+                    _keyed(c, rk_v, SENT_R), klo, khi, n_dev_), n_dev_)
+                return (jnp.max(lax.pmax(hl, "d")),
+                        jnp.max(lax.pmax(hr, "d")))
+
+            cap_l, cap_r = (max(int(x), 1)
+                            for x in jax.jit(hist)(*step_args))
+
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=tuple(in_specs), out_specs=(P(),) * 4,
+                     check_vma=False)
+            def stats(*all_in):
+                c = make_shard_compiler(all_in[:-1], all_in[-1])
+                return shard_join_count_stats(
+                    _keyed(c, lk_v, SENT_L), _keyed(c, rk_v, SENT_R),
+                    key_lo=klo, key_hi=khi, n_dev=n_dev_,
+                    cap_r=cap_r, cap_l=cap_l)
+            cap_pairs, cap_exp, total, ovf = (
+                int(x) for x in jax.jit(stats)(*step_args))
+            assert ovf == 0, "exact-capacity exchange overflowed"
+            return dict(cap_l=cap_l, cap_r=cap_r,
+                        cap_pairs=max(cap_pairs, 1),
+                        cap_exp=max(cap_exp, 1), total=total)
+
+        for key, pj in part_joins.items():  # classifier post-order
+            if pj["caps"] is None:
+                pj["caps"] = part_join_caps(pj)
 
         @partial(jax.shard_map, mesh=self.mesh, in_specs=tuple(in_specs),
                  out_specs=(P("d"),) * (2 + len(folds_)), check_vma=False)

@@ -74,6 +74,44 @@ def _bucket(dest, n_dev, cap, arrays, fills):
     return outs, overflow
 
 
+def owner_dest(keys, key_lo, key_hi, n_dev):
+    """Range-partition owner of each key; invalid (>= SENT_L) -> n_dev."""
+    per_owner = -(-max(key_hi - key_lo, 1) // n_dev)
+    d = jnp.clip((keys - key_lo) // per_owner, 0, n_dev - 1)
+    return jnp.where(keys < SENT_L, d, n_dev)
+
+
+def dest_histogram(dest, n_dev):
+    """Rows per destination (n_dev,), dropped rows excluded."""
+    oh = jax.nn.one_hot(jnp.clip(dest, 0, n_dev - 1), n_dev, dtype=jnp.int64)
+    return jnp.sum(oh * (dest < n_dev)[:, None], axis=0)
+
+
+def shard_join_count_stats(lkeys, rkeys, *, key_lo, key_hi, n_dev,
+                           cap_r, cap_l):
+    """Exchange-count round (no pair expansion): the exact static
+    capacities the main join program needs.  Returns
+    (max pairs in any (owner, source-shard) block  -> cap_pairs,
+     max pairs landing on any probe shard          -> cap_exp,
+     global pair total, exchange overflow)."""
+    (bk,), ovr_r = _bucket(owner_dest(rkeys, key_lo, key_hi, n_dev),
+                           n_dev, cap_r, [rkeys], [SENT_R])
+    (lk_b,), ovr_l = _bucket(owner_dest(lkeys, key_lo, key_hi, n_dev),
+                             n_dev, cap_l, [lkeys], [SENT_L])
+    rk_own = lax.all_to_all(bk, "d", 0, 0).reshape(-1)
+    lk_own = lax.all_to_all(lk_b, "d", 0, 0)
+    rs = jnp.sort(rk_own)
+    lo = jnp.searchsorted(rs, lk_own.reshape(-1))
+    hi = jnp.searchsorted(rs, lk_own.reshape(-1), side="right")
+    cnt_own = (hi - lo).astype(jnp.int64).reshape(n_dev, cap_l)
+    totals_src = jnp.sum(cnt_own, axis=1)  # per source shard, at this owner
+    my_total = jnp.sum(lax.all_to_all(cnt_own, "d", 0, 0))
+    return (lax.pmax(jnp.max(totals_src), "d"),
+            lax.pmax(my_total, "d"),
+            lax.psum(jnp.sum(totals_src), "d"),
+            lax.psum(ovr_r + ovr_l, "d"))
+
+
 def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
                        cap_r, cap_l, cap_pairs):
     """The shard-side join body; callable inside any shard_map over 'd'.
@@ -89,15 +127,9 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
       cnt        (len(lkeys),) per-local-probe-row global match count
       overflow   scalar: total dropped rows across all exchanges (psum'd)
     """
-    per_owner = -(-max(key_hi - key_lo, 1) // n_dev)
-
-    def owner_of(keys, sent):
-        d = jnp.clip((keys - key_lo) // per_owner, 0, n_dev - 1)
-        return jnp.where(keys < SENT_L, d, n_dev)
-
     # ---- build exchange: right rows to their key's owner
     (bk, *bps), ovr_r = _bucket(
-        owner_of(rkeys, SENT_R), n_dev, cap_r,
+        owner_dest(rkeys, key_lo, key_hi, n_dev), n_dev, cap_r,
         [rkeys] + list(rpayloads), [SENT_R] + [0] * len(rpayloads))
     rk_own = lax.all_to_all(bk, "d", 0, 0).reshape(-1)
     rp_own = [lax.all_to_all(b, "d", 0, 0).reshape(-1) for b in bps]
@@ -106,7 +138,7 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
     nl = lkeys.shape[0]
     lidx_all = jnp.arange(nl, dtype=jnp.int64)
     (lk_b, lidx_b), ovr_l = _bucket(
-        owner_of(lkeys, SENT_L), n_dev, cap_l,
+        owner_dest(lkeys, key_lo, key_hi, n_dev), n_dev, cap_l,
         [lkeys, lidx_all], [SENT_L, jnp.int64(nl)])
     lk_own = lax.all_to_all(lk_b, "d", 0, 0)  # (n_dev=src, cap_l)
 

@@ -209,6 +209,13 @@ class Vexp:
     def __hash__(self):
         return self.skey
 
+    def __repr__(self):
+        # the DAG is deep and shared: the dataclass default repr recurses
+        # exponentially (a failing pytest assertion would never return)
+        op = type(self.vx).__name__
+        nm = f" as {self.name}" if self.name else ""
+        return f"<Vexp #{self.skey} {op}{nm} count<={self.info.count}>"
+
     def with_(self, **kw) -> "Vexp":
         return dataclasses.replace(self, **kw)
 

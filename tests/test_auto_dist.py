@@ -84,10 +84,15 @@ def test_counting_prepass_is_distributed(dist_setup, monkeypatch, q):
     full_keys = {v.skey for v in vexps}
     assert all(r != full_keys for r in seen_roots), \
         "auto-distribution ran the full query single-chip"
-    shared = set(dq.join_sizes) & set(want)
+    # sizes live in join_sizes (replicated-right path) or in the
+    # partitioned shuffle join's exchange stats (caps["total"])
+    got_sizes = dict(dq.join_sizes)
+    got_sizes.update({k: pj["caps"]["total"]
+                      for k, pj in dq.part_joins.items()})
+    shared = set(got_sizes) & set(want)
     assert shared, "distributed plan resolved no join sizes"
     for key in shared:
-        assert dq.join_sizes[key] == want[key]
+        assert got_sizes[key] == want[key]
 
 
 def test_cli_run_devices_matches_single_chip(dist_setup, capsys):
@@ -101,6 +106,60 @@ def test_cli_run_devices_matches_single_chip(dist_setup, capsys):
     cli.main(["run", plan, "--cpu", "--devices", "8"])
     dist_rows = sorted(capsys.readouterr().out.strip().splitlines())
     assert dist_rows == single
+
+
+@pytest.mark.parametrize("q", ["17", "21"])
+def test_fact_frame_right_sides_use_shuffle_join(dist_setup, monkeypatch, q):
+    """Q17/Q21 self-join right sides are fact-frame chains: they must run
+    as distributed shuffle joins (range-partitioned build + probe routing)
+    and replicate strictly fewer fact columns at full width than the
+    replicated-right fallback (MPLAN2VDL_NO_PART_JOIN=1)."""
+    from mplan2vdl_tpu import mplan, passes, vir
+    from mplan2vdl_tpu.fe import lexer, plan_parser
+    from mplan2vdl_tpu.parallel import auto
+
+    store, cfg, mesh = dist_setup
+    with open(os.path.join(TPCH10, f"{q}.sql.mplan")) as f:
+        text = f.read()
+    rel = plan_parser.parse(lexer.strip_plan_comments(text))
+    m = mplan.fuse_selects(mplan.push_fk_joins(
+        mplan.mplan_from_parse_tree(rel, cfg)))
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+
+    dq = auto.distribute(cfg, store, vexps, mesh)
+    n_part = len(dq.part_joins)
+    part_full = [str(nm) for nm in dq.extra_full]
+
+    monkeypatch.setenv("MPLAN2VDL_NO_PART_JOIN", "1")
+    dq_repl = auto.distribute(cfg, store, vexps, mesh)
+    repl_full = [str(nm) for nm in dq_repl.extra_full]
+
+    assert n_part > 0
+    if q == "17":  # the join was Q17's ONLY full-width region: none left
+        assert part_full == [] and repl_full != []
+    else:  # Q21's exists/anti machinery keeps its own full regions
+        assert len(part_full) <= len(repl_full), (part_full, repl_full)
+
+
+@pytest.mark.parametrize("q", ["13", "17", "21"])
+def test_non_pushed_plans_distribute_exactly(dist_setup, q):
+    """The CLI's default compilation path does NOT apply push_fk_joins:
+    those plan shapes route row-identity chains through fullsrc gathers,
+    whose values are already global — the fold-boundary globalization
+    must not offset them again (regression: Q17 via `run --devices`)."""
+    from mplan2vdl_tpu.engine.lower import CompiledQuery, plan_to_vexps
+    from mplan2vdl_tpu.parallel import auto
+
+    store, cfg, mesh = dist_setup
+    with open(os.path.join(TPCH10, f"{q}.sql.mplan")) as f:
+        vexps = plan_to_vexps(f.read(), cfg)
+    dq = auto.distribute(cfg, store, vexps, mesh)
+    got = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                       for _, _, c in dq()]))
+    single = CompiledQuery(cfg, vexps, store)()
+    want = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                        for c in single.columns]))
+    assert got == want
 
 
 def test_no_aggregate_reports_not_distributable(dist_setup):
