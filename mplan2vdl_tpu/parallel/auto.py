@@ -240,10 +240,37 @@ def _rowid_leaks(v: V.Vexp, fact_count: int, allow_chain: bool = True) -> bool:
     return go(v, allow_chain)
 
 
-_PART_SIDES = frozenset((V.JLEFT, V.JRIGHT, V.JSEMI, V.JANTI))
+_PART_SIDES = frozenset((V.JLEFT, V.JRIGHT, V.JSEMI, V.JANTI,
+                         V.JOUTER_LEFT, V.JOUTER_RIGHT, V.JOUTER_VALID))
+_OUTER_SIDES = frozenset((V.JOUTER_LEFT, V.JOUTER_RIGHT, V.JOUTER_VALID))
 
 
-def _plan_part_joins(folds, fact: str, fact_count: int):
+def _loads_outside_part(folds, part_keys, part_skip):
+    """Table columns read OUTSIDE partitioned-join right-side chains (those
+    chains' loads ship sharded; anything else still needs replication)."""
+    seen, out = set(), []
+
+    def go(x: V.Vexp):
+        if x.skey in seen or x.skey in part_skip:
+            return
+        seen.add(x.skey)
+        vx = x.vx
+        if isinstance(vx, V.Load):
+            out.append(vx.name)
+            return
+        if isinstance(vx, V.JoinIndex) and (
+                vx.lkeys.skey, vx.rkeys.skey) in part_keys:
+            go(vx.lkeys)  # the rkeys chain is exchange territory
+            return
+        for c in _children(vx):
+            go(c)
+
+    for f in folds:
+        go(f)
+    return out
+
+
+def _plan_part_joins(folds, fact: str, fact_count: int, store=None):
     """Joins whose RIGHT side is a pure fact-frame chain run as DISTRIBUTED
     SHUFFLE JOINS (parallel/shuffle_join.py) instead of replicating the
     right side to every shard: both sides evaluate shard-locally, rows
@@ -262,10 +289,15 @@ def _plan_part_joins(folds, fact: str, fact_count: int):
     grouping contexts (partition keys / fold group ids), where a
     distinctness-preserving globalization (+rstep*shard_start) suffices.
 
-    Partitionable when every node over a (lkeys, rkeys) pair is
-    left/right/semi/anti (outer stays replicated), the key chains are
-    'L'-pure and value-exact, and every 'right' output resolves through
-    the composition rules above.
+    RIGHT FRAMES may be the fact frame (Q17/Q21 self-joins) or a single
+    partitioned DIM table's frame (Q13's orders side): dim-frame chains
+    evaluate in a nested shard compiler over that table's row shard, so
+    the dim table is never replicated.  OUTER joins append each probe
+    shard's unmatched rows after its matched pairs (the single-chip
+    layout), with outer-valid = 1/0 flags and null (0) right payloads.
+
+    Partitionable when the key chains are 'L'-pure and value-exact and
+    every 'right' output resolves through the composition rules above.
 
     Returns (part_joins: key -> spec, part_pay: intercepted gather skey ->
     (key, payload index), part_skip: gather skeys the region planner must
@@ -292,8 +324,6 @@ def _plan_part_joins(folds, fact: str, fact_count: int):
     for f in folds:
         walk(f)
 
-    kmemo = {}
-
     def index_space(x: V.Vexp) -> bool:
         """Values are LOCAL row positions of some local frame (selection
         vectors, row identities, and their compositions)."""
@@ -308,43 +338,61 @@ def _plan_part_joins(folds, fact: str, fact_count: int):
             return vx.jside in (V.JLEFT, V.JSEMI, V.JANTI)
         return False
 
-    def klass(x: V.Vexp):
-        """'L' = pure fact-frame chain (shard-local eval == global eval
-        restricted to local rows); 'R' = fully replicated; None = neither."""
-        if x.skey in kmemo:
-            return kmemo[x.skey]
-        vx = x.vx
-        if isinstance(vx, V.Load):
-            r = "L" if vx.name[0] == fact else "R"
-        elif isinstance(vx, V.RangeC):
-            r = "L" if vx.rcount == fact_count else "R"
-        elif isinstance(vx, V.RangeV):
-            r = klass(vx.rref)
-        elif isinstance(vx, V.Binop):
-            kl, kr = klass(vx.left), klass(vx.right)
-            r = kl if kl == kr else None
-        elif isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
-            ks, kp = klass(vx.shsource), klass(vx.shpos)
-            if kp == "L" and ks == "R":
-                r = "L"  # fk gather into a replicated dim frame
-            elif kp == "L" and ks == "L" and index_space(vx.shpos):
-                r = "L"  # selection composition within the local frame
-            elif kp == "R" and ks == "R":
-                r = "R"
-            else:
+    def make_klass(tab: str, cnt: int):
+        """Frame classifier over ``tab``'s row frame: 'L' = pure chain
+        (shard-local eval == global eval restricted to local rows); 'R' =
+        fully replicated; None = neither.  In a partitioned-DIM context
+        (tab != fact) fact columns are unavailable — they arrive sharded
+        by the FACT layout — so they classify None."""
+        kmemo = {}
+
+        def klass(x: V.Vexp):
+            if x.skey in kmemo:
+                return kmemo[x.skey]
+            vx = x.vx
+            if isinstance(vx, V.Load):
+                if vx.name[0] == tab:
+                    r = "L"
+                elif tab != fact and vx.name[0] == fact:
+                    r = None
+                else:
+                    r = "R"
+            elif isinstance(vx, V.RangeC):
+                if vx.rcount == cnt:
+                    r = "L"
+                elif tab != fact and vx.rcount == fact_count:
+                    r = None
+                else:
+                    r = "R"
+            elif isinstance(vx, V.RangeV):
+                r = klass(vx.rref)
+            elif isinstance(vx, V.Binop):
+                kl, kr = klass(vx.left), klass(vx.right)
+                r = kl if kl == kr else None
+            elif isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+                ks, kp = klass(vx.shsource), klass(vx.shpos)
+                if kp == "L" and ks == "R":
+                    r = "L"  # fk gather into a replicated dim frame
+                elif kp == "L" and ks == "L" and index_space(vx.shpos):
+                    r = "L"  # selection composition within the local frame
+                elif kp == "R" and ks == "R":
+                    r = "R"
+                else:
+                    r = None
+            elif isinstance(vx, V.Fold) and vx.foldop == V.FSEL:
+                r = klass(vx.fdata)
+            elif isinstance(vx, V.Partition):
+                r = klass(vx.pdata) if klass(vx.pivots) == "R" else None
+            elif isinstance(vx, (V.Like, V.DictMap)):
+                r = klass(vx.ldata)
+            elif isinstance(vx, V.VShuffle):
+                r = klass(vx.varg)
+            else:  # aggregates, scatters, sorts, joins, cross products
                 r = None
-        elif isinstance(vx, V.Fold) and vx.foldop == V.FSEL:
-            r = klass(vx.fdata)
-        elif isinstance(vx, V.Partition):
-            r = klass(vx.pdata) if klass(vx.pivots) == "R" else None
-        elif isinstance(vx, (V.Like, V.DictMap)):
-            r = klass(vx.ldata)
-        elif isinstance(vx, V.VShuffle):
-            r = klass(vx.varg)
-        else:  # aggregates, scatters, sorts, joins, cross products
-            r = None
-        kmemo[x.skey] = r
-        return r
+            kmemo[x.skey] = r
+            return r
+
+        return klass
 
     def has_pos_values(x: V.Vexp) -> bool:
         """Frame positions buried INSIDE value arithmetic (bit-packed
@@ -368,29 +416,55 @@ def _plan_part_joins(folds, fact: str, fact_count: int):
 
         return go(x)
 
-    def value_kind(src: V.Vexp):
+    def value_kind(src: V.Vexp, cnt: int):
         """'value' ships as-is; 'exact' = raw rowid chain (+og exact);
         'pos' = local frame positions (compose deeper, or globalize for
         grouping-only consumers); None = reject."""
-        if _rowid_chain(src, fact_count) is not None:
+        if _rowid_chain(src, cnt) is not None:
             return "exact"
-        if index_space(src) or _frame_pos_chain(src, fact_count) is not None:
+        if index_space(src) or _frame_pos_chain(src, cnt) is not None:
             return "pos"
         if has_pos_values(src):
             return None
         return "value"
 
+    tables_all = {nm[0] for nm in getattr(store, "columns", {})} \
+        if store is not None else set()
+    counts_all = {t: store.table_count((t,)) for t in tables_all}
+
+    fact_klass = make_klass(fact, fact_count)
     part_joins, part_pay, part_skip, part_roots = {}, {}, set(), []
     for key in order:
         jnodes = joins_by_key[key]
-        if not {n.vx.jside for n in jnodes} <= _PART_SIDES:
+        sides = {n.vx.jside for n in jnodes}
+        if not sides <= _PART_SIDES:
             continue
+        outer = bool(sides & _OUTER_SIDES)
         j0 = jnodes[0].vx
         lk, rk = j0.lkeys, j0.rkeys
-        if lk.info.count != fact_count or klass(rk) != "L":
+        if lk.info.count != fact_count:
             continue
+        # pick the right frame: the fact frame, or ONE partitionable dim
+        # table whose row count matches and is unambiguous (RangeC sizing
+        # in the dim shard compiler keys on the count)
+        rtab, rcnt, klass = fact, fact_count, fact_klass
+        if fact_klass(rk) != "L":
+            cands = []
+            for t in sorted({nm[0] for nm in _loads_under(rk)}):
+                tc = counts_all.get(t)
+                if (t != fact and tc and tc == rk.info.count
+                        and tc != fact_count
+                        and sum(1 for c in counts_all.values()
+                                if c == tc) == 1):
+                    kt = make_klass(t, tc)
+                    if kt(rk) == "L":
+                        cands.append((t, tc, kt))
+            if len(cands) != 1:
+                continue
+            rtab, rcnt, klass = cands[0]
         # join keys must be VALUE-exact after shard-local eval
-        if any(value_kind(k) not in ("value", "exact") for k in (lk, rk)):
+        if value_kind(lk, fact_count) not in ("value", "exact") \
+                or value_kind(rk, rcnt) not in ("value", "exact"):
             continue
 
         pays, pay_map = [], {}
@@ -412,7 +486,7 @@ def _plan_part_joins(folds, fact: str, fact_count: int):
                 return False
             if len(chain) == 1 and src.info.count != rk.info.count:
                 return False
-            kind = value_kind(src)
+            kind = value_kind(src, rcnt)
             if kind is None:
                 return False
             if kind in ("value", "exact"):
@@ -440,7 +514,7 @@ def _plan_part_joins(folds, fact: str, fact_count: int):
 
         ok = True
         for n in jnodes:
-            if n.vx.jside != V.JRIGHT:
+            if n.vx.jside not in (V.JRIGHT, V.JOUTER_RIGHT):
                 continue
             for p in parents.get(n.skey, []):
                 if not (isinstance(p.vx, V.Shuffle)
@@ -464,7 +538,9 @@ def _plan_part_joins(folds, fact: str, fact_count: int):
         klo = min(lk.info.bounds[0], rk.info.bounds[0])
         khi = max(lk.info.bounds[1], rk.info.bounds[1]) + 1
         part_joins[key] = dict(lkeys=lk, rkeys=rk, pays=pays,
-                               bounds=(int(klo), int(khi)), caps=None)
+                               bounds=(int(klo), int(khi)), caps=None,
+                               table=None if rtab == fact else rtab,
+                               t_count=rcnt, outer=outer)
     return part_joins, part_pay, part_skip, part_roots
 
 
@@ -630,6 +706,9 @@ class _ShardCompiler(Compiler):
         self.full_tables = {}
         self.full_fsel_sizes = {}
         self.part_joins, self.part_pay, self.n_dev = {}, {}, 1
+        self.part_arrays, self.part_meta = {}, {}
+        self._shard_ix = None
+        self._dim_cs = {}
         self._full_c = None
 
     def _full_eval(self, v: V.Vexp) -> Val:
@@ -652,6 +731,29 @@ class _ShardCompiler(Compiler):
         win = lax.dynamic_slice(buf, (self._start,), (self._shard_rows,))
         return Val(data=_mask_tail(win, self.local_valid, self._shard_rows),
                    valid=self.local_valid, length=self._shard_rows)
+
+    def _dim_c(self, tab: str) -> "_ShardCompiler":
+        """Nested shard compiler over a PARTITIONED dim table's row shard:
+        the build side of a dim-frame shuffle join (Q13's orders) — that
+        table is never replicated.  Loads of ``tab`` read the local shard;
+        other dim tables stay replicated; fact columns are unreachable
+        (the classifier forbids them in dim-frame chains)."""
+        dc = self._dim_cs.get(tab)
+        if dc is None:
+            t_count, srt = self.part_meta[tab]
+            start = (self._shard_ix * srt).astype(jnp.int64)
+            lv = jnp.clip(jnp.asarray(t_count, jnp.int64) - start, 0, srt)
+            tables = dict(self.tables)
+            tables.update({nm: a for nm, a in self.part_arrays.items()
+                           if nm[0] == tab})
+            dc = _ShardCompiler(self.cfg, self.store, lv, tables, t_count)
+            dc._shard_rows = srt
+            dc._start = start
+            dc._padded = srt * self.n_dev
+            dc.n_dev = self.n_dev
+            dc._shard_ix = self._shard_ix
+            self._dim_cs[tab] = dc
+        return dc
 
     def _keyed_local(self, vexp: V.Vexp, sent, loose: bool = False):
         """Shard-local int64 key/payload vector for the shuffle join:
@@ -695,9 +797,10 @@ class _ShardCompiler(Compiler):
             return hit
         pj = self.part_joins[key]
         caps = pj["caps"]
+        rc = self._dim_c(pj["table"]) if pj["table"] else self
         lk = self._keyed_local(pj["lkeys"], SENT_L)
-        rk = self._keyed_local(pj["rkeys"], SENT_R)
-        pays = [self._payload(spec) for spec in pj["pays"]]
+        rk = rc._keyed_local(pj["rkeys"], SENT_R)
+        pays = [rc._payload(spec) for spec in pj["pays"]]
         r = shard_shuffle_join(
             lk, rk, pays, key_lo=pj["bounds"][0], key_hi=pj["bounds"][1],
             n_dev=self.n_dev, cap_r=caps["cap_r"], cap_l=caps["cap_l"],
@@ -707,9 +810,33 @@ class _ShardCompiler(Compiler):
         lval = self._force(self.eval(pj["lkeys"]))
         art = dict(lidx=r["lidx"][sel], pays=[p[sel] for p in r["payloads"]],
                    cnt=r["cnt"], npair=npair, nl=lval.length,
-                   lvalid=lval.valid, cap_exp=caps["cap_exp"])
+                   lvalid=lval.valid, cap_exp=caps["cap_exp"],
+                   cap_un=caps.get("cap_un", 0), outer=pj["outer"])
+        if pj["outer"]:
+            # this shard's unmatched probe rows, appended after its pairs
+            # (the single-chip outer layout, lower.py _eval_join_index)
+            idx = jnp.arange(art["nl"], dtype=jnp.int64)
+            lmask = idx < jnp.asarray(lval.valid, jnp.int64)
+            un = (r["cnt"] == 0) & lmask
+            art["un_sel"] = _sel_positions(un)[:caps["cap_un"]]
+            art["n_un"] = jnp.sum(un.astype(jnp.int64))
         self.join_cache[("part",) + key] = art
         return art
+
+    def _outer_concat(self, art, pair_vals, un_vals):
+        """[matched pairs | unmatched probe rows] prefix layout: pairs at
+        0..npair, unmatched appended at npair..npair+n_un."""
+        L = art["cap_exp"] + art["cap_un"]
+        npair, n_un = art["npair"], art["n_un"]
+        pi = jnp.arange(art["cap_exp"], dtype=jnp.int64)
+        buf = jnp.zeros((L,), jnp.int64)
+        buf = buf.at[pi].set(
+            jnp.where(pi < npair, pair_vals.astype(jnp.int64), 0))
+        ui = jnp.arange(art["cap_un"], dtype=jnp.int64)
+        buf = buf.at[npair + ui].set(
+            jnp.where(ui < n_un, un_vals.astype(jnp.int64), 0),
+            mode="drop")
+        return buf, npair + n_un, L
 
     def _eval(self, v: V.Vexp):
         vx = v.vx
@@ -723,6 +850,12 @@ class _ShardCompiler(Compiler):
             key, i = self.part_pay[v.skey]
             art = self._part_join_art(key)
             dt = dtype_for(v.info)
+            if art["outer"]:  # unmatched rows carry null (0) right values
+                zer = jnp.zeros((art["cap_un"],), jnp.int64)
+                data, valid, L = self._outer_concat(art, art["pays"][i],
+                                                    zer)
+                return Val(data=_mask_tail(data.astype(dt), valid, L),
+                           valid=valid, length=L)
             data = _mask_tail(art["pays"][i].astype(dt), art["npair"],
                               art["cap_exp"])
             return Val(data=data, valid=art["npair"],
@@ -746,6 +879,17 @@ class _ShardCompiler(Compiler):
                 nz = jnp.sum(keep.astype(jnp.int64))
                 return Val(data=_mask_tail(sel.astype(dt), nz, art["nl"]),
                            valid=nz, length=art["nl"])
+            if vx.jside == V.JOUTER_LEFT:
+                data, valid, L = self._outer_concat(art, art["lidx"],
+                                                    art["un_sel"])
+                return Val(data=_mask_tail(data.astype(dt), valid, L),
+                           valid=valid, length=L)
+            if vx.jside == V.JOUTER_VALID:
+                ones = jnp.ones((art["cap_exp"],), jnp.int64)
+                zer = jnp.zeros((art["cap_un"],), jnp.int64)
+                data, valid, L = self._outer_concat(art, ones, zer)
+                return Val(data=_mask_tail(data.astype(dt), valid, L),
+                           valid=valid, length=L)
             raise RuntimeError(
                 f"partitioned join side {vx.jside} must be consumed "
                 "through payload gathers")
@@ -870,7 +1014,7 @@ class AutoDistributed:
         if joins and not self.sparse and os.environ.get(
                 "MPLAN2VDL_NO_PART_JOIN", "0") in ("", "0"):
             part_joins, part_pay, part_skip, part_roots = _plan_part_joins(
-                folds, self.fact, fact_count)
+                folds, self.fact, fact_count, self.store)
         self.part_joins, self.part_pay = part_joins, part_pay
 
         scatters, replicate, fullsrc, extra_full, full_roots = _plan_regions(
@@ -919,7 +1063,21 @@ class AutoDistributed:
         self.padded = self.shard_rows * n_dev
         self.loads = loads
         self.fact_loads = [nm for nm in self.loads if nm[0] == self.fact]
-        self.dim_loads = [nm for nm in self.loads if nm[0] != self.fact]
+        # partitioned dim tables ship SHARDED; drop their replicated
+        # copies unless a non-part region still reads them
+        part_tabs = {pj["table"] for pj in part_joins.values()
+                     if pj["table"]}
+        outside = set(_loads_outside_part(
+            folds, frozenset(part_joins), frozenset(part_skip))) \
+            if part_tabs else set()
+        self.part_loads = sorted({nm for nm in self.loads
+                                  if nm[0] in part_tabs})
+        self.part_meta = {
+            pj["table"]: (pj["t_count"], -(-pj["t_count"] // n_dev))
+            for pj in part_joins.values() if pj["table"]}
+        self.dim_loads = [nm for nm in self.loads
+                          if nm[0] != self.fact
+                          and (nm[0] not in part_tabs or nm in outside)]
         self.extra_full = extra_full
         self.scatter_skeys = frozenset(scatters)
         self.replicate_skeys = frozenset(replicate)
@@ -932,6 +1090,7 @@ class AutoDistributed:
         fullsrc_keys_ = self.fullsrc_skeys
         join_sizes_, full_fsel_ = self.join_sizes, self.full_fsel_sizes
         part_joins_, part_pay_ = self.part_joins, self.part_pay
+        part_loads, part_meta_ = self.part_loads, self.part_meta
         padded_ = self.padded
         cfg, store, fact_count = self.cfg, self.store, self.fact_count
         n_dev_ = self.mesh.devices.size
@@ -982,12 +1141,16 @@ class AutoDistributed:
             for f, rid in zip(folds_, rowid_))
 
         nf, nd = len(fact_loads), len(dim_loads)
-        in_specs = (P("d"),) * nf + (P(),) * (nd + len(extra_full)) \
-            + (P(),)
+        npart = len(part_loads)
+        in_specs = (P("d"),) * (nf + npart) \
+            + (P(),) * (nd + len(extra_full)) + (P(),)
 
         def make_shard_compiler(arrays, counts):
             local = {}
-            for nm, a in zip(fact_loads + dim_loads, arrays[:nf + nd]):
+            for nm, a in zip(fact_loads, arrays[:nf]):
+                local[nm] = a.reshape(-1)
+            for nm, a in zip(dim_loads,
+                             arrays[nf + npart:nf + npart + nd]):
                 local[nm] = a.reshape(-1)
             shard = lax.axis_index("d")
             start = (shard * shard_rows).astype(jnp.int64)
@@ -1000,13 +1163,26 @@ class AutoDistributed:
             c.join_sizes = join_sizes_
             c.full_fsel_sizes = full_fsel_
             c.full_tables = {nm: a.reshape(-1) for nm, a in
-                             zip(dim_loads + extra_full, arrays[nf:])}
+                             zip(dim_loads + extra_full,
+                                 arrays[nf + npart:])}
             c._start = start
             c._padded = padded_
             c.part_joins = part_joins_
             c.part_pay = part_pay_
             c.n_dev = n_dev_
+            c.part_arrays = {nm: a.reshape(-1) for nm, a in
+                             zip(part_loads, arrays[nf:nf + npart])}
+            c.part_meta = part_meta_
+            c._shard_ix = shard
             return c
+
+        def step_inputs():
+            args = [self._shard(store.columns[nm]) for nm in fact_loads]
+            args += [self._shard(store.columns[nm], part_meta_[nm[0]][1])
+                     for nm in part_loads]
+            args += [jnp.asarray(store.columns[nm])
+                     for nm in dim_loads + extra_full]
+            return args
 
         def count_join_round(jnode: V.Vexp, outer: bool) -> int:
             """One distributed counting round: the join's global match
@@ -1040,31 +1216,11 @@ class AutoDistributed:
                         ((art["cnt"] == 0) & lmask).astype(jnp.int64))
                 return lax.psum(total, "d")
 
-            args = [self._shard(store.columns[nm]) for nm in fact_loads]
-            args += [jnp.asarray(store.columns[nm])
-                     for nm in dim_loads + extra_full]
             cts = jnp.asarray([fact_count], jnp.int64)
-            return max(int(jax.jit(count)(*args, cts)), 1)
+            return max(int(jax.jit(count)(*step_inputs(), cts)), 1)
 
         for key, (jnode, outerflag) in pending_joins.items():
             self.join_sizes[key] = count_join_round(jnode, outerflag)
-
-        _global_vals = frozenset(set(scatter_keys_) | set(replicate_keys_)
-                                 | set(fullsrc_keys_) | set(part_pay_))
-
-        def _keyed(c, vexp, sent):
-            """Shard-local int64 key vector: invalid tail -> sentinel,
-            rowid-chain values globalized by rstep*shard_start (values
-            arriving from full-width frames are global already)."""
-            og = None if _chain_through(vexp, _global_vals) \
-                else _rowid_chain(vexp, fact_count)
-            val = c._force(c.eval(vexp))
-            data = val.data.astype(jnp.int64)
-            if og:
-                data = data + og * c._start
-            idx = jnp.arange(val.length, dtype=jnp.int64)
-            return jnp.where(idx < jnp.asarray(val.valid, jnp.int64),
-                             data, sent)
 
         def part_join_caps(pj) -> dict:
             """Two counting rounds -> EXACT static exchange capacities:
@@ -1072,22 +1228,23 @@ class AutoDistributed:
             (cap_l/cap_r); round B = the exchange itself, counts only
             (cap_pairs = largest (owner, source-shard) match block,
             cap_exp = largest per-probe-shard expansion)."""
-            lk_v, rk_v = pj["lkeys"], pj["rkeys"]
+            lk_v, rk_v, tab_ = pj["lkeys"], pj["rkeys"], pj["table"]
             klo, khi = pj["bounds"]
-            step_args = [self._shard(store.columns[nm]) for nm in fact_loads]
-            step_args += [jnp.asarray(store.columns[nm])
-                          for nm in dim_loads + extra_full]
-            step_args += [jnp.asarray([fact_count], jnp.int64)]
+            step_args = step_inputs() + [jnp.asarray([fact_count],
+                                                     jnp.int64)]
 
             @partial(jax.shard_map, mesh=self.mesh,
                      in_specs=tuple(in_specs), out_specs=(P(),) * 2,
                      check_vma=False)
             def hist(*all_in):
                 c = make_shard_compiler(all_in[:-1], all_in[-1])
+                rc = c._dim_c(tab_) if tab_ else c
                 hl = dest_histogram(owner_dest(
-                    _keyed(c, lk_v, SENT_L), klo, khi, n_dev_), n_dev_)
+                    c._keyed_local(lk_v, SENT_L), klo, khi, n_dev_),
+                    n_dev_)
                 hr = dest_histogram(owner_dest(
-                    _keyed(c, rk_v, SENT_R), klo, khi, n_dev_), n_dev_)
+                    rc._keyed_local(rk_v, SENT_R), klo, khi, n_dev_),
+                    n_dev_)
                 return (jnp.max(lax.pmax(hl, "d")),
                         jnp.max(lax.pmax(hr, "d")))
 
@@ -1095,20 +1252,24 @@ class AutoDistributed:
                             for x in jax.jit(hist)(*step_args))
 
             @partial(jax.shard_map, mesh=self.mesh,
-                     in_specs=tuple(in_specs), out_specs=(P(),) * 4,
+                     in_specs=tuple(in_specs), out_specs=(P(),) * 6,
                      check_vma=False)
             def stats(*all_in):
                 c = make_shard_compiler(all_in[:-1], all_in[-1])
+                rc = c._dim_c(tab_) if tab_ else c
                 return shard_join_count_stats(
-                    _keyed(c, lk_v, SENT_L), _keyed(c, rk_v, SENT_R),
+                    c._keyed_local(lk_v, SENT_L),
+                    rc._keyed_local(rk_v, SENT_R),
                     key_lo=klo, key_hi=khi, n_dev=n_dev_,
                     cap_r=cap_r, cap_l=cap_l)
-            cap_pairs, cap_exp, total, ovf = (
+            cap_pairs, cap_exp, cap_un, total, total_un, ovf = (
                 int(x) for x in jax.jit(stats)(*step_args))
             assert ovf == 0, "exact-capacity exchange overflowed"
             return dict(cap_l=cap_l, cap_r=cap_r,
                         cap_pairs=max(cap_pairs, 1),
-                        cap_exp=max(cap_exp, 1), total=total)
+                        cap_exp=max(cap_exp, 1),
+                        cap_un=max(cap_un, 1) if pj["outer"] else 0,
+                        total=total + (total_un if pj["outer"] else 0))
 
         for key, pj in part_joins.items():  # classifier post-order
             if pj["caps"] is None:
@@ -1196,6 +1357,9 @@ class AutoDistributed:
 
     def __call__(self):
         args = [self._shard(self.store.columns[nm]) for nm in self.fact_loads]
+        args += [self._shard(self.store.columns[nm],
+                             self.part_meta[nm[0]][1])
+                 for nm in self.part_loads]
         args += [jnp.asarray(self.store.columns[nm])
                  for nm in self.dim_loads + self.extra_full]
         counts = jnp.asarray([self.fact_count], jnp.int64)
@@ -1273,8 +1437,10 @@ class AutoDistributed:
                            dtypes=[dt for _, dt, _ in cols],
                            columns=[c for _, _, c in cols])
 
-    def _shard(self, arr: np.ndarray) -> jax.Array:
-        buf = np.zeros(self.padded, dtype=arr.dtype)
+    def _shard(self, arr: np.ndarray, shard_rows=None) -> jax.Array:
+        padded = self.padded if shard_rows is None \
+            else shard_rows * self.mesh.devices.size
+        buf = np.zeros(padded, dtype=arr.dtype)
         buf[:len(arr)] = arr
         return jax.device_put(buf, NamedSharding(self.mesh, P("d")))
 

@@ -93,11 +93,14 @@ def shard_join_count_stats(lkeys, rkeys, *, key_lo, key_hi, n_dev,
     capacities the main join program needs.  Returns
     (max pairs in any (owner, source-shard) block  -> cap_pairs,
      max pairs landing on any probe shard          -> cap_exp,
-     global pair total, exchange overflow)."""
+     max UNMATCHED probe rows on any shard         -> cap_un (outer),
+     global pair total, global unmatched total, exchange overflow)."""
+    nl = lkeys.shape[0]
     (bk,), ovr_r = _bucket(owner_dest(rkeys, key_lo, key_hi, n_dev),
                            n_dev, cap_r, [rkeys], [SENT_R])
-    (lk_b,), ovr_l = _bucket(owner_dest(lkeys, key_lo, key_hi, n_dev),
-                             n_dev, cap_l, [lkeys], [SENT_L])
+    (lk_b, lidx_b), ovr_l = _bucket(
+        owner_dest(lkeys, key_lo, key_hi, n_dev), n_dev, cap_l,
+        [lkeys, jnp.arange(nl, dtype=jnp.int64)], [SENT_L, jnp.int64(nl)])
     rk_own = lax.all_to_all(bk, "d", 0, 0).reshape(-1)
     lk_own = lax.all_to_all(lk_b, "d", 0, 0)
     rs = jnp.sort(rk_own)
@@ -105,10 +108,17 @@ def shard_join_count_stats(lkeys, rkeys, *, key_lo, key_hi, n_dev,
     hi = jnp.searchsorted(rs, lk_own.reshape(-1), side="right")
     cnt_own = (hi - lo).astype(jnp.int64).reshape(n_dev, cap_l)
     totals_src = jnp.sum(cnt_own, axis=1)  # per source shard, at this owner
-    my_total = jnp.sum(lax.all_to_all(cnt_own, "d", 0, 0))
+    cnt_back = lax.all_to_all(cnt_own, "d", 0, 0)
+    my_total = jnp.sum(cnt_back)
+    # per-local-row counts -> unmatched VALID probe rows on this shard
+    cnt = jnp.zeros((nl + 1,), jnp.int64).at[lidx_b.reshape(-1)].add(
+        cnt_back.reshape(-1), mode="drop")[:nl]
+    my_un = jnp.sum(((cnt == 0) & (lkeys < SENT_L)).astype(jnp.int64))
     return (lax.pmax(jnp.max(totals_src), "d"),
             lax.pmax(my_total, "d"),
+            lax.pmax(my_un, "d"),
             lax.psum(jnp.sum(totals_src), "d"),
+            lax.psum(my_un, "d"),
             lax.psum(ovr_r + ovr_l, "d"))
 
 

@@ -108,12 +108,13 @@ def test_cli_run_devices_matches_single_chip(dist_setup, capsys):
     assert dist_rows == single
 
 
-@pytest.mark.parametrize("q", ["17", "21"])
+@pytest.mark.parametrize("q", ["13", "17", "21"])
 def test_fact_frame_right_sides_use_shuffle_join(dist_setup, monkeypatch, q):
-    """Q17/Q21 self-join right sides are fact-frame chains: they must run
-    as distributed shuffle joins (range-partitioned build + probe routing)
-    and replicate strictly fewer fact columns at full width than the
-    replicated-right fallback (MPLAN2VDL_NO_PART_JOIN=1)."""
+    """Q17/Q21 self-join right sides are fact-frame chains and Q13's outer
+    right side is a dim-frame (orders) chain: they must run as distributed
+    shuffle joins (range-partitioned build + probe routing) and replicate
+    strictly less than the replicated-right fallback
+    (MPLAN2VDL_NO_PART_JOIN=1)."""
     from mplan2vdl_tpu import mplan, passes, vir
     from mplan2vdl_tpu.fe import lexer, plan_parser
     from mplan2vdl_tpu.parallel import auto
@@ -137,6 +138,11 @@ def test_fact_frame_right_sides_use_shuffle_join(dist_setup, monkeypatch, q):
     assert n_part > 0
     if q == "17":  # the join was Q17's ONLY full-width region: none left
         assert part_full == [] and repl_full != []
+    elif q == "13":  # orders ships SHARDED: no replicated dim columns
+        assert [v["table"] for v in dq.part_joins.values()] == ["orders"]
+        assert all(v["outer"] for v in dq.part_joins.values())
+        assert dq.dim_loads == [] and len(dq.part_loads) > 0
+        assert any(nm[0] == "orders" for nm in dq_repl.dim_loads)
     else:  # Q21's exists/anti machinery keeps its own full regions
         assert len(part_full) <= len(repl_full), (part_full, repl_full)
 
