@@ -1,0 +1,250 @@
+"""Streaming gather for MONOTONE positions (compaction apply).
+
+``out[i] = src[pos[i]]`` with ``pos`` sorted ascending is the engine's
+hottest access pattern: every Select compacts to sorted positions
+(Fold FSel, lower.py) and then gathers EVERY surviving column through
+them — and XLA's dynamic gather on TPU is latency-serialized at
+~7 ns/element regardless of index order (measured, tools/bench_ops.py).
+
+This kernel streams instead of chasing pointers: the output is processed
+in 1024-element blocks; each block's positions span a contiguous source
+range (sortedness!), so the kernel loads the TWO aligned W-element source
+windows covering that range (scalar-prefetched window ids drive the
+BlockSpec index maps) and resolves the gather with in-register tile
+permutations — ``take_along_axis`` on a native (8,128) tile is a Mosaic
+vector op.  Sub-tiles outside the block's actual span are skipped with
+dynamic fori bounds.  Measured on TPU v5e: 0.75 ns/element at 50%
+selectivity — ~9.5x over XLA's gather.
+
+Coverage: a block's span must fit within W (guaranteed when at least
+1024/W of the rows between pos[first]..pos[last] are selected, i.e.
+selectivity >= 12.5% at W=8192 — and locally clustered selections pass
+even below that).  The wrapper checks the realized spans on device and
+falls back to XLA's gather via ``lax.cond`` when any block exceeds W, so
+the kernel is always safe to enable.
+
+The engine traces under x64; Mosaic rejects 64-bit vectors, so kernel
+construction is wrapped in ``jax.enable_x64(False)`` and all arithmetic
+pins jnp.int32.  int64 sources gather as two int32 planes (hi/lo).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+
+from ... import jaxcfg  # noqa: F401  (x64 + persistent compilation cache)
+
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 1024          # output elements per grid step (8 x 128 tile)
+W = 8192              # source window granularity (elements)
+_TS = W // BLOCK      # (8,128) sub-tiles per window
+
+
+def _kernel(starts_ref, pos_ref, win0_ref, win1_ref, o_ref):
+    i32 = jnp.int32
+    k = pl.program_id(0)
+    base = starts_ref[k] * i32(W)
+    off = pos_ref[...] - base            # in [0, 2W) by construction
+    c = off & i32(127)
+    t = off >> i32(10)                   # sub-tile id, 0..2*_TS-1
+    rr = (off >> i32(7)) & i32(7)        # row within sub-tile
+    tmin = jnp.min(t)
+    tmax = jnp.max(t)
+
+    def gather_tile(tile, acc, i):
+        out_i = jnp.zeros((8, 128), jnp.int32)
+        for s in range(8):
+            row_b = jnp.broadcast_to(tile[s, :][None, :], (8, 128))
+            gs = jnp.take_along_axis(row_b, c, axis=1)
+            out_i = jnp.where(rr == jnp.int32(s), gs, out_i)
+        return acc + jnp.where(t == i, out_i, jnp.int32(0))
+
+    def body0(i, acc):
+        i = lax.convert_element_type(i, jnp.int32)
+        return gather_tile(win0_ref[pl.ds(i * i32(8), 8), :], acc, i)
+
+    def body1(i, acc):
+        i = lax.convert_element_type(i, jnp.int32)
+        return gather_tile(
+            win1_ref[pl.ds((i - i32(_TS)) * i32(8), 8), :], acc, i)
+
+    acc = jnp.zeros((8, 128), jnp.int32)
+    acc = lax.fori_loop(tmin, jnp.minimum(tmax + i32(1), i32(_TS)),
+                        body0, acc)
+    acc = lax.fori_loop(jnp.maximum(tmin, i32(_TS)), tmax + i32(1),
+                        body1, acc)
+    o_ref[...] = acc
+
+
+@functools.cache
+def _build(nblocks: int, nwin: int, m_rows: int, interpret: bool = False):
+    """The jitted pallas gather for a given (grid, window count, output
+    rows) shape triple.  Traced with x64 off (Mosaic is 32-bit)."""
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda k, st: (k, 0)),
+                pl.BlockSpec((_TS * 8, 128), lambda k, st: (st[k], 0)),
+                pl.BlockSpec((_TS * 8, 128),
+                             lambda k, st: (jnp.minimum(st[k] + 1,
+                                                        nwin - 1), 0)),
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda k, st: (k, 0)),
+        )
+        return pl.pallas_call(
+            _kernel, grid_spec=grid_spec, interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((m_rows, 128), jnp.int32))
+
+
+def _gather_i32(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Core int32 path: ``pos`` monotone int32, all values < len(src).
+    Returns out aligned with pos (same length)."""
+    m = pos.shape[0]
+    m_pad = -(-m // BLOCK) * BLOCK
+    n = src.shape[0]
+    n_pad = (-(-n // W) + 1) * W  # +1 window so win1 can always advance
+    srcp = jnp.zeros((n_pad,), jnp.int32).at[:n].set(src)
+    # pad positions by repeating the last one (keeps monotonicity)
+    last = pos[m - 1] if m > 0 else jnp.int32(0)
+    posp = jnp.full((m_pad,), last, jnp.int32).at[:m].set(pos)
+    starts = (posp[::BLOCK] // W).astype(jnp.int32)
+    interp = os.environ.get("MPLAN2VDL_PL_INTERPRET", "0") not in ("", "0")
+    f = _build(m_pad // BLOCK, n_pad // W, m_pad // 128, interp)
+    # the kernel body traces at INVOCATION: keep x64 promotion off there
+    with jax.enable_x64(False):
+        out = f(starts, posp.reshape(-1, 128), srcp.reshape(-1, 128),
+                srcp.reshape(-1, 128))
+    return out.reshape(-1)[:m]
+
+
+def _spans_fit(pos: jnp.ndarray) -> jnp.ndarray:
+    """True when every 1024-block's position span fits the two-window
+    coverage (span <= W)."""
+    m = pos.shape[0]
+    m_pad = -(-m // BLOCK) * BLOCK
+    last = pos[m - 1] if m > 0 else jnp.int32(0)
+    posp = jnp.full((m_pad,), last, jnp.int32).at[:m].set(pos)
+    b = posp.reshape(-1, BLOCK)
+    return jnp.max(b[:, BLOCK - 1] - b[:, 0]) <= W
+
+
+SMALL_TABLE = 65536   # max VMEM-resident table rows (256KB int32); above
+                      # this the sub-tile sweep approaches XLA's gather
+                      # cost (~64 iterations ~ 1 cycle/element)
+
+
+def _small_kernel(pos_ref, tab_ref, o_ref, *, nt):
+    i32 = jnp.int32
+    off = pos_ref[...]
+    c = off & i32(127)
+    t = off >> i32(10)
+    rr = (off >> i32(7)) & i32(7)
+
+    def body(i, acc):
+        i = lax.convert_element_type(i, jnp.int32)
+        tile = tab_ref[pl.ds(i * i32(8), 8), :]
+        out_i = jnp.zeros((8, 128), jnp.int32)
+        for s in range(8):
+            row_b = jnp.broadcast_to(tile[s, :][None, :], (8, 128))
+            gs = jnp.take_along_axis(row_b, c, axis=1)
+            out_i = jnp.where(rr == jnp.int32(s), gs, out_i)
+        return acc + jnp.where(t == i, out_i, jnp.int32(0))
+
+    o_ref[...] = lax.fori_loop(jnp.int32(0), jnp.int32(nt), body,
+                               jnp.zeros((8, 128), jnp.int32))
+
+
+@functools.cache
+def _build_small(nblocks: int, nt: int, m_rows: int,
+                 interpret: bool = False):
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_small_kernel, nt=nt),
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec((8, 128), lambda k: (k, 0)),
+                      # whole table resident: same block every step -> the
+                      # pipeline keeps it in VMEM without re-copying
+                      pl.BlockSpec((nt * 8, 128), lambda k: (0, 0))],
+            out_specs=pl.BlockSpec((8, 128), lambda k: (k, 0)),
+            interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((m_rows, 128), jnp.int32))
+
+
+def _gather_small_i32(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """ARBITRARY-order positions into a small (VMEM-resident) table:
+    fk-value gathers into dim frames.  O(table/1024) vector ops per
+    output tile — ~0.5-1 ns/element for tables <= 64K rows, vs XLA's
+    ~7 ns serialized gather."""
+    m = pos.shape[0]
+    m_pad = -(-m // BLOCK) * BLOCK
+    n = src.shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    srcp = jnp.zeros((n_pad,), jnp.int32).at[:n].set(src)
+    posp = jnp.zeros((m_pad,), jnp.int32).at[:m].set(pos)
+    interp = os.environ.get("MPLAN2VDL_PL_INTERPRET", "0") not in ("", "0")
+    f = _build_small(m_pad // BLOCK, n_pad // BLOCK, m_pad // 128, interp)
+    with jax.enable_x64(False):
+        out = f(posp.reshape(-1, 128), srcp.reshape(-1, 128))
+    return out.reshape(-1)[:m]
+
+
+def small_table_gather(src: jnp.ndarray, pos: jnp.ndarray,
+                       valid) -> jnp.ndarray:
+    """``src[pos]`` for a small source table, positions in ANY order."""
+    m = pos.shape[0]
+    if m == 0 or src.shape[0] == 0:
+        return src[jnp.clip(pos, 0, max(src.shape[0] - 1, 0))]
+    posm = jnp.clip(pos, 0, src.shape[0] - 1).astype(jnp.int32)
+    if src.dtype == jnp.int32:
+        return _gather_small_i32(src, posm)
+    if src.dtype == jnp.int64:
+        lo = _gather_small_i32((src & 0xFFFFFFFF).astype(jnp.uint32)
+                               .astype(jnp.int32), posm)
+        hi = _gather_small_i32((src >> 32).astype(jnp.int32), posm)
+        return (hi.astype(jnp.int64) << 32) | (
+            lo.astype(jnp.uint32).astype(jnp.int64))
+    return src[posm]
+
+
+def sorted_gather(src: jnp.ndarray, pos: jnp.ndarray, valid) -> jnp.ndarray:
+    """``src[pos]`` for monotone ``pos`` (rows past ``valid`` ignored).
+
+    Streams source windows at HBM bandwidth instead of XLA's serialized
+    dynamic gather; falls back to XLA's gather (lax.cond) when a block's
+    span exceeds the window coverage (very sparse, unclustered
+    selections).  Output rows past ``valid`` are unspecified — callers
+    mask, as with every engine gather."""
+    m = pos.shape[0]
+    if m == 0 or src.shape[0] == 0:
+        return src[jnp.clip(pos, 0, max(src.shape[0] - 1, 0))]
+    # keep the masked tail monotone: repeat the last VALID position
+    idx = jnp.arange(m, dtype=jnp.int64)
+    vlast = jnp.clip(jnp.asarray(valid, jnp.int64) - 1, 0, m - 1)
+    last = pos[vlast]
+    posm = jnp.where(idx < jnp.asarray(valid, jnp.int64), pos, last)
+    posm = jnp.clip(posm, 0, src.shape[0] - 1).astype(jnp.int32)
+
+    def xla_path(s):
+        return s[posm]
+
+    if src.dtype == jnp.int32:
+        return lax.cond(_spans_fit(posm),
+                        lambda s: _gather_i32(s, posm), xla_path, src)
+    if src.dtype == jnp.int64:
+        def split_path(s):
+            lo = _gather_i32((s & 0xFFFFFFFF).astype(jnp.uint32)
+                             .astype(jnp.int32), posm)
+            hi = _gather_i32((s >> 32).astype(jnp.int32), posm)
+            return (hi.astype(jnp.int64) << 32) | (
+                lo.astype(jnp.uint32).astype(jnp.int64))
+        return lax.cond(_spans_fit(posm), split_path, xla_path, src)
+    return src[posm]

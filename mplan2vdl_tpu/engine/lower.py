@@ -115,6 +115,29 @@ def like_to_regex(pattern: str) -> "re.Pattern":
     return re.compile("^" + "".join(out) + "$", re.DOTALL)
 
 
+def _monotone_positions(v: V.Vexp) -> bool:
+    """Positions known sorted ascending at trace time: selection
+    compactions (FSel outputs), non-negative ranges, and their gather
+    compositions (monotone of monotone stays monotone)."""
+    vx = v.vx
+    if isinstance(vx, V.Fold) and vx.foldop == V.FSEL:
+        return True
+    if isinstance(vx, (V.RangeV, V.RangeC)):
+        return vx.rstep >= 0
+    if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+        return (_monotone_positions(vx.shsource)
+                and _monotone_positions(vx.shpos))
+    return False
+
+
+def _sorted_gather_on() -> bool:
+    """The Pallas streaming gather runs on real TPUs only (Mosaic);
+    MPLAN2VDL_NO_SORTED_GATHER=1 forces the XLA gather everywhere."""
+    if os.environ.get("MPLAN2VDL_NO_SORTED_GATHER", "0") not in ("", "0"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 class Compiler:
     """Trace-time evaluator for one query DAG.
 
@@ -191,8 +214,33 @@ class Compiler:
         if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
             src = self._force(self.eval(vx.shsource))
             pos = self._force(self.eval(vx.shpos))
-            p = jnp.clip(pos.data, 0, src.length - 1)
-            data = src.data[p].astype(dt)
+            from .kernels.sorted_gather import BLOCK, SMALL_TABLE, W
+
+            # the two-phase sizing already shrank pos.length to the REAL
+            # cardinality, so pos.length/src.length is the selectivity:
+            # below BLOCK/W the windows rarely cover a block's span (the
+            # runtime cond would fall back to XLA while still blocking
+            # XLA's gather fusion — measured -23% on Q19's 0.2%-selective
+            # filters), so skip the kernel statically
+            use_sorted = (_monotone_positions(vx.shpos)
+                          and src.length >= 4096 and pos.length >= 4096
+                          and pos.length * W >= src.length * BLOCK)
+            use_small = (src.length <= SMALL_TABLE and pos.length >= 4096)
+            if (_sorted_gather_on()
+                    and src.data.dtype in (jnp.int32, jnp.int64)
+                    and (use_sorted or use_small)):
+                # XLA's dynamic gather on TPU is latency-serialized
+                # (~7 ns/element); stream source windows for monotone
+                # positions (compaction applies) or keep small dim tables
+                # VMEM-resident for fk-value gathers (kernels/sorted_gather)
+                from .kernels.sorted_gather import (small_table_gather,
+                                                    sorted_gather)
+
+                kern = sorted_gather if use_sorted else small_table_gather
+                data = kern(src.data, pos.data, pos.valid).astype(dt)
+            else:
+                p = jnp.clip(pos.data, 0, src.length - 1)
+                data = src.data[p].astype(dt)
             # gathering from an empty source yields an empty vector (the
             # broadcast-join path gathers src[0] of a possibly-empty 1-row
             # side, Vlite.hs:694-713)

@@ -1,0 +1,155 @@
+"""Streaming sorted-position gather kernel (kernels/sorted_gather.py) vs
+the numpy oracle, in Pallas interpret mode (the real-TPU path is the same
+trace; on-chip validation lives in tools/bench_ops.py + CLI runs)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setenv("MPLAN2VDL_PL_INTERPRET", "1")
+
+
+def _run(src_np, pos_np, valid=None):
+    import jax.numpy as jnp
+
+    from mplan2vdl_tpu.engine.kernels.sorted_gather import sorted_gather
+
+    valid = len(pos_np) if valid is None else valid
+    out = sorted_gather(jnp.asarray(src_np), jnp.asarray(pos_np), valid)
+    return np.asarray(out)[:valid]
+
+
+@pytest.mark.parametrize("sel", [0.9, 0.5, 0.2])
+def test_matches_oracle_int32(sel):
+    rng = np.random.default_rng(3)
+    n = 40_000
+    src = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int32)
+    pos = np.sort(rng.choice(n, int(n * sel), replace=False)).astype(np.int32)
+    np.testing.assert_array_equal(_run(src, pos), src[pos])
+
+
+def test_int64_hi_lo_planes():
+    rng = np.random.default_rng(4)
+    n = 20_000
+    src = rng.integers(-(1 << 60), 1 << 60, n).astype(np.int64)
+    pos = np.sort(rng.choice(n, n // 2, replace=False)).astype(np.int32)
+    np.testing.assert_array_equal(_run(src, pos), src[pos])
+
+
+def test_masked_tail_ignored():
+    rng = np.random.default_rng(5)
+    n = 20_000
+    src = rng.integers(0, 1 << 30, n).astype(np.int32)
+    pos = np.sort(rng.choice(n, 4000, replace=False)).astype(np.int32)
+    m = 2500
+    # garbage (non-monotone zeros) past valid, as _mask_tail leaves it
+    posm = pos.copy()
+    posm[m:] = 0
+    np.testing.assert_array_equal(_run(src, posm, valid=m), src[pos[:m]])
+
+
+def test_sparse_spans_fall_back_to_xla():
+    """Selectivity far below the window coverage: the cond must take the
+    XLA-gather branch and stay exact."""
+    rng = np.random.default_rng(6)
+    n = 600_000
+    src = rng.integers(0, 1 << 30, n).astype(np.int32)
+    pos = np.sort(rng.choice(n, 2048, replace=False)).astype(np.int32)
+    np.testing.assert_array_equal(_run(src, pos), src[pos])
+
+
+def test_duplicates_and_clusters():
+    rng = np.random.default_rng(7)
+    n = 30_000
+    src = rng.integers(0, 1 << 30, n).astype(np.int32)
+    # clustered duplicated monotone positions (fk-style runs)
+    base = np.sort(rng.choice(n, 3000, replace=False))
+    pos = np.sort(np.concatenate([base, base, base]))[:6144].astype(np.int32)
+    np.testing.assert_array_equal(_run(src, pos), src[pos])
+
+
+def test_small_table_random_positions():
+    import jax.numpy as jnp
+
+    from mplan2vdl_tpu.engine.kernels.sorted_gather import \
+        small_table_gather
+
+    rng = np.random.default_rng(8)
+    for n, m in [(25, 5000), (7000, 20000), (60000, 8192)]:
+        src = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int32)
+        pos = rng.integers(0, n, m).astype(np.int32)  # arbitrary order
+        out = np.asarray(small_table_gather(jnp.asarray(src),
+                                            jnp.asarray(pos), m))[:m]
+        np.testing.assert_array_equal(out, src[pos])
+
+
+def test_small_table_int64():
+    import jax.numpy as jnp
+
+    from mplan2vdl_tpu.engine.kernels.sorted_gather import \
+        small_table_gather
+
+    rng = np.random.default_rng(9)
+    n, m = 4000, 9000
+    src = rng.integers(-(1 << 60), 1 << 60, n).astype(np.int64)
+    pos = rng.integers(0, n, m).astype(np.int32)
+    out = np.asarray(small_table_gather(jnp.asarray(src),
+                                        jnp.asarray(pos), m))[:m]
+    np.testing.assert_array_equal(out, src[pos])
+
+
+def test_monotone_predicate():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from mplan2vdl_tpu import mplan, passes, vir
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.engine.lower import _monotone_positions
+    from mplan2vdl_tpu.fe import lexer, plan_parser
+
+    store = datagen.generate(sf=0.002, seed=7)
+    cfg = store.make_catalog()
+    with open("/root/reference/tests/tpch10noorder/03.sql.mplan") as f:
+        text = f.read()
+    rel = plan_parser.parse(lexer.strip_plan_comments(text))
+    m = mplan.mplan_from_parse_tree(rel, cfg)
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+    # Q3 materializes selection compactions: every gather applying them
+    # must be recognized as monotone
+    from mplan2vdl_tpu import vir as V
+    from mplan2vdl_tpu.engine.lower import _children
+
+    def has_fsel(x, seen=None):
+        seen = set() if seen is None else seen
+        if x.skey in seen:
+            return False
+        seen.add(x.skey)
+        if isinstance(x.vx, V.Fold) and x.vx.foldop == V.FSEL:
+            return True
+        return any(has_fsel(c, seen) for c in _children(x.vx))
+
+    seen, mono, direct = set(), [], []
+
+    def go(x):
+        if x.skey in seen:
+            return
+        seen.add(x.skey)
+        vx = x.vx
+        if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+            if has_fsel(vx.shpos):
+                mono.append(_monotone_positions(vx.shpos))
+            # a DIRECT FSel position (pure compaction apply) is always
+            # monotone; fk VALUES gathered through one are not
+            pv = vx.shpos.vx
+            if isinstance(pv, V.Fold) and pv.foldop == V.FSEL:
+                direct.append(_monotone_positions(vx.shpos))
+    # (gather(values, FSel) chains legitimately classify non-monotone)
+        for c in _children(vx):
+            go(c)
+
+    for v in vexps:
+        go(v)
+    assert direct and all(direct), direct
+    assert any(mono), mono
