@@ -198,9 +198,19 @@ def cmd_run(args):
             print("# --roofline accounts the single-chip program; "
                   "ignored under --devices", file=sys.stderr)
         else:
-            rep = cq.cost_report(hbm_gbps=args.hbm_gbps)
+            rep = cq.cost_report(hbm_gbps=args.hbm_gbps, per_op=True)
+            per_op = rep.pop("per_op", None)
             for k, v in rep.items():
                 print(f"# {k}: {v}", file=sys.stderr)
+            if per_op:
+                print("# per-op traffic (estimated operand+output bytes):",
+                      file=sys.stderr)
+                for op, b in list(per_op["by_opcode"].items())[:8]:
+                    print(f"#   {op:<28} {b/1e6:10.2f} MB", file=sys.stderr)
+                print("# top instructions:", file=sys.stderr)
+                for label, b, ob in per_op["top_ops"][:8]:
+                    print(f"#   {label:<44} {b/1e6:10.2f} MB",
+                          file=sys.stderr)
     if args.decode:
         cols = res.decoded(store)
     else:

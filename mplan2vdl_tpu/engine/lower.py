@@ -881,7 +881,8 @@ class CompiledQuery:
             dts.append(v.info.dtype)
         return QueryResult(names=names, dtypes=dts, columns=cols)
 
-    def cost_report(self, hbm_gbps: Optional[float] = None) -> dict:
+    def cost_report(self, hbm_gbps: Optional[float] = None,
+                    per_op: bool = False) -> dict:
         """HBM-roofline accounting for the compiled program (the SURVEY §5
         observability requirement: per-query traffic/flops budgeting).
 
@@ -908,6 +909,10 @@ class CompiledQuery:
             if ca.get("bytes accessed"):
                 out["xla_traffic_time_s"] = \
                     ca["bytes accessed"] / (hbm_gbps * 1e9)
+        if per_op:
+            from .hloprof import traffic_report
+
+            out["per_op"] = traffic_report(compiled.as_text())
         return out
 
 

@@ -174,3 +174,22 @@ def test_cost_report_roofline():
     assert rep["roofline_floor_s"] > 0
     if rep["xla_bytes_accessed"]:
         assert rep["amplification"] >= 1.0
+
+
+def test_cost_report_per_op_attribution():
+    """Per-instruction traffic from the optimized HLO (engine/hloprof.py):
+    Q3's sort-based join/group-by must show sort traffic, totals must
+    cover at least the input scan."""
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.engine.lower import compile_plan_text
+
+    store = datagen.generate(sf=0.002, seed=5)
+    cfg = store.make_catalog()
+    with open("/root/reference/tests/tpch10noorder/03.sql.mplan") as f:
+        cq = compile_plan_text(f.read(), cfg, store)
+    rep = cq.cost_report(per_op=True)
+    po = rep["per_op"]
+    assert po["total_bytes"] > rep["scan_bytes"] / 2
+    assert "sort" in po["by_opcode"]
+    assert po["top_ops"] and all(b > 0 for _, b, _ in po["top_ops"])
+    assert sum(po["by_opcode"].values()) == po["total_bytes"]
