@@ -168,6 +168,37 @@ def test_non_pushed_plans_distribute_exactly(dist_setup, q):
     assert got == want
 
 
+@pytest.mark.parametrize("q", ["02", "03", "10", "18"])
+def test_ordered_topn_plans_distribute_in_order(dist_setup, q):
+    """Unmodified monetpch plans (ORDER BY + top-N) distribute: the sort
+    lives in the host-side group stage, so the fold stage shards as usual
+    and the ordered output must match the single-chip engine IN ORDER
+    (all 22 sweep exact offline; these four cover top-100/10/20 shapes
+    with joins and outer aggregates)."""
+    import jax
+
+    from mplan2vdl_tpu import mplan, passes, vir
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.engine.lower import CompiledQuery
+    from mplan2vdl_tpu.fe import lexer, plan_parser
+    from mplan2vdl_tpu.parallel import auto, dist
+
+    _, _, mesh = dist_setup
+    store = datagen.generate(sf=0.01, seed=7, legacy_fk_names=True)
+    cfg = store.make_catalog()
+    with open(f"/root/reference/tests/monetpch/{q}.sql.mplan") as f:
+        text = f.read()
+    rel = plan_parser.parse(lexer.strip_plan_comments(text))
+    m = mplan.fuse_selects(mplan.push_fk_joins(
+        mplan.mplan_from_parse_tree(rel, cfg)))
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+    dq = auto.distribute(cfg, store, vexps, mesh)
+    got = [np.asarray(c, np.int64).tolist() for _, _, c in dq()]
+    want = [np.asarray(c, np.int64).tolist()
+            for c in CompiledQuery(cfg, vexps, store)().columns]
+    assert got == want  # ordered comparison — row order must match
+
+
 def test_no_aggregate_reports_not_distributable(dist_setup):
     """A pure projection/join plan has no aggregate stage to shard."""
     from mplan2vdl_tpu import mplan, passes, vir
