@@ -74,8 +74,9 @@ from ..engine.kernels import segred
 from ..engine.lower import (Compiler, Val, _children, _mask_tail,
                             _sel_positions, dtype_for)
 from ..names import Name
-from .shuffle_join import (SENT_L, SENT_R, dest_histogram, owner_dest,
-                           shard_join_count_stats, shard_shuffle_join)
+from .shuffle_join import (SENT_L, SENT_R, dest_histogram, key_sents,
+                           owner_dest, shard_join_count_stats,
+                           shard_shuffle_join)
 
 
 class NotDistributable(Exception):
@@ -537,10 +538,13 @@ def _plan_part_joins(folds, fact: str, fact_count: int, store=None):
         part_roots.extend(new_roots + [lk, rk])
         klo = min(lk.info.bounds[0], rk.info.bounds[0])
         khi = max(lk.info.bounds[1], rk.info.bounds[1]) + 1
+        # int32 keys when bounds fit below the int32 sentinels: halves
+        # the exchange's key bytes and compiles faster
+        k32 = klo > -(2**31) and khi < 2**31 - 2
         part_joins[key] = dict(lkeys=lk, rkeys=rk, pays=pays,
                                bounds=(int(klo), int(khi)), caps=None,
                                table=None if rtab == fact else rtab,
-                               t_count=rcnt, outer=outer)
+                               t_count=rcnt, outer=outer, k32=k32)
     return part_joins, part_pay, part_skip, part_roots
 
 
@@ -755,11 +759,13 @@ class _ShardCompiler(Compiler):
             self._dim_cs[tab] = dc
         return dc
 
-    def _keyed_local(self, vexp: V.Vexp, sent, loose: bool = False):
-        """Shard-local int64 key/payload vector for the shuffle join:
-        invalid tail -> sentinel, rowid chains globalized (``loose`` also
-        globalizes derived-frame position chains — distinctness-preserving
-        payloads, see _frame_pos_chain)."""
+    def _keyed_local(self, vexp: V.Vexp, sent, loose: bool = False,
+                     kdt=jnp.int64):
+        """Shard-local key vector for the shuffle join: invalid tail ->
+        sentinel, rowid chains globalized (``loose`` also globalizes
+        derived-frame position chains — distinctness-preserving payloads,
+        see _frame_pos_chain).  ``kdt`` narrows exchange keys when the
+        classifier proved the bounds fit."""
         skip = (set(self.part_pay) | self.fullsrc_skeys
                 | self.replicate_skeys | self.scatter_skeys)
         og = None if _chain_through(vexp, skip) else \
@@ -770,7 +776,9 @@ class _ShardCompiler(Compiler):
         if og:
             data = data + og * self._start
         idx = jnp.arange(val.length, dtype=jnp.int64)
-        return jnp.where(idx < jnp.asarray(val.valid, jnp.int64), data, sent)
+        masked = jnp.where(idx < jnp.asarray(val.valid, jnp.int64),
+                           data, jnp.int64(sent))
+        return masked.astype(kdt)
 
     def _payload(self, spec) -> jnp.ndarray:
         """One payload column, aligned with the local right frame: the
@@ -778,15 +786,17 @@ class _ShardCompiler(Compiler):
         then (for position-valued results) globalized by rstep*start."""
         chain = spec["chain"]
         val = self._force(self.eval(chain[0]))
-        data = val.data.astype(jnp.int64)
+        data = val.data
         for s in chain[1:]:
             sv = self._force(self.eval(s))
-            data = sv.data[jnp.clip(data, 0, sv.length - 1)].astype(
-                jnp.int64)
+            data = sv.data[jnp.clip(data.astype(jnp.int64), 0,
+                                    sv.length - 1)]
         og = (_frame_pos_chain if spec["loose"] else _rowid_chain)(
             chain[-1], self.fact_count)
         if og:
-            data = data + og * self._start
+            data = data.astype(jnp.int64) + og * self._start
+            if self.fact_count < 2**31:  # globalized positions stay int32
+                data = data.astype(jnp.int32)
         return data
 
     def _part_join_art(self, key):
@@ -798,8 +808,10 @@ class _ShardCompiler(Compiler):
         pj = self.part_joins[key]
         caps = pj["caps"]
         rc = self._dim_c(pj["table"]) if pj["table"] else self
-        lk = self._keyed_local(pj["lkeys"], SENT_L)
-        rk = rc._keyed_local(pj["rkeys"], SENT_R)
+        kdt = jnp.int32 if pj.get("k32") else jnp.int64
+        sent_r, sent_l = key_sents(kdt)
+        lk = self._keyed_local(pj["lkeys"], sent_l, kdt=kdt)
+        rk = rc._keyed_local(pj["rkeys"], sent_r, kdt=kdt)
         pays = [rc._payload(spec) for spec in pj["pays"]]
         r = shard_shuffle_join(
             lk, rk, pays, key_lo=pj["bounds"][0], key_hi=pj["bounds"][1],
@@ -1230,6 +1242,8 @@ class AutoDistributed:
             cap_exp = largest per-probe-shard expansion)."""
             lk_v, rk_v, tab_ = pj["lkeys"], pj["rkeys"], pj["table"]
             klo, khi = pj["bounds"]
+            kdt = jnp.int32 if pj.get("k32") else jnp.int64
+            sent_r_, sent_l_ = key_sents(kdt)
             step_args = step_inputs() + [jnp.asarray([fact_count],
                                                      jnp.int64)]
 
@@ -1240,11 +1254,11 @@ class AutoDistributed:
                 c = make_shard_compiler(all_in[:-1], all_in[-1])
                 rc = c._dim_c(tab_) if tab_ else c
                 hl = dest_histogram(owner_dest(
-                    c._keyed_local(lk_v, SENT_L), klo, khi, n_dev_),
-                    n_dev_)
+                    c._keyed_local(lk_v, sent_l_, kdt=kdt),
+                    klo, khi, n_dev_), n_dev_)
                 hr = dest_histogram(owner_dest(
-                    rc._keyed_local(rk_v, SENT_R), klo, khi, n_dev_),
-                    n_dev_)
+                    rc._keyed_local(rk_v, sent_r_, kdt=kdt),
+                    klo, khi, n_dev_), n_dev_)
                 return (jnp.max(lax.pmax(hl, "d")),
                         jnp.max(lax.pmax(hr, "d")))
 
@@ -1258,8 +1272,8 @@ class AutoDistributed:
                 c = make_shard_compiler(all_in[:-1], all_in[-1])
                 rc = c._dim_c(tab_) if tab_ else c
                 return shard_join_count_stats(
-                    c._keyed_local(lk_v, SENT_L),
-                    rc._keyed_local(rk_v, SENT_R),
+                    c._keyed_local(lk_v, sent_l_, kdt=kdt),
+                    rc._keyed_local(rk_v, sent_r_, kdt=kdt),
                     key_lo=klo, key_hi=khi, n_dev=n_dev_,
                     cap_r=cap_r, cap_l=cap_l)
             cap_pairs, cap_exp, cap_un, total, total_un, ovf = (

@@ -136,6 +136,8 @@ def test_fact_frame_right_sides_use_shuffle_join(dist_setup, monkeypatch, q):
     repl_full = [str(nm) for nm in dq_repl.extra_full]
 
     assert n_part > 0
+    # TPC-H key bounds all fit int32: the exchange must narrow its keys
+    assert all(v["k32"] for v in dq.part_joins.values())
     if q == "17":  # the join was Q17's ONLY full-width region: none left
         assert part_full == [] and repl_full != []
     elif q == "13":  # orders ships SHARDED: no replicated dim columns
