@@ -100,6 +100,37 @@ def test_small_table_int64():
     np.testing.assert_array_equal(out, src[pos])
 
 
+@pytest.mark.parametrize("q", ["03", "12"])
+def test_engine_hook_interpret_mode(monkeypatch, q):
+    """The ENGINE integration (lower.py gather branch): force the gate on
+    and run whole queries through the kernels in interpret mode — results
+    must match the pure-XLA path exactly (on TPU the same trace runs
+    compiled; chip validation lives in the CLI comparisons)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import mplan2vdl_tpu.engine.lower as L
+    from mplan2vdl_tpu.engine import datagen
+
+    store = datagen.generate(sf=0.002, seed=7)
+    cfg = store.make_catalog()
+    with open(f"/root/reference/tests/tpch10noorder/{q}.sql.mplan") as f:
+        text = f.read()
+
+    plain = L.compile_plan_text(text, cfg, store)()
+    want = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                        for c in plain.columns]))
+
+    monkeypatch.setenv("MPLAN2VDL_PL_INTERPRET", "1")
+    monkeypatch.setattr(L, "_sorted_gather_on", lambda: True)
+    kern = L.compile_plan_text(text, cfg, store)()
+    got = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                       for c in kern.columns]))
+    assert got == want
+
+
 def test_monotone_predicate():
     import jax
 
