@@ -179,6 +179,9 @@ def cmd_run(args):
             dq = auto.distribute(cfg, store, vexps,
                                  dist.make_mesh(devs[:n_dev]))
             runner = dq.result
+            if getattr(args, "explain_dist", False):
+                for ln in dq.describe().splitlines():
+                    print(f"# {ln}", file=sys.stderr)
         except auto.NotDistributable as e:
             print(f"# not distributable ({e}); running single-chip",
                   file=sys.stderr)
@@ -254,6 +257,9 @@ def main(argv=None):
                     help="distribute over an N-device mesh (with --cpu, "
                          "spawns N virtual host devices); plans outside "
                          "the distribution algebra fall back single-chip")
+    pr.add_argument("--explain-dist", action="store_true",
+                    help="print the distribution plan (sharded vs "
+                         "replicated columns, partitioned joins, domains)")
     pr.add_argument("--decode", action="store_true",
                     help="decode dictionary codes / dates / decimals")
     pr.add_argument("--use-cross-product", action="store_true")

@@ -1441,6 +1441,41 @@ class AutoDistributed:
             cols.append((v.name, v.info.dtype, np.asarray(val.data)[:nv]))
         return cols
 
+    def describe(self) -> str:
+        """Human-readable distribution plan (SURVEY §5 observability):
+        what shards, what replicates, which joins exchange."""
+        n_dev = self.mesh.devices.size
+        lines = [f"fact table: {self.fact} ({self.fact_count} rows, "
+                 f"{self.shard_rows} rows/shard x {n_dev} shards)"]
+        lines.append("sharded fact columns: "
+                     + ", ".join(nm[1] for nm in self.fact_loads))
+        if self.part_loads:
+            lines.append("sharded (partitioned-join) dim columns: "
+                         + ", ".join(f"{nm[0]}.{nm[1]}"
+                                     for nm in self.part_loads))
+        if self.dim_loads:
+            lines.append("replicated dim columns: "
+                         + ", ".join(f"{nm[0]}.{nm[1]}"
+                                     for nm in self.dim_loads))
+        if self.extra_full:
+            lines.append("replicated fact columns (full-width regions): "
+                         + ", ".join(nm[1] for nm in self.extra_full))
+        for key, pj in self.part_joins.items():
+            caps = pj["caps"] or {}
+            lines.append(
+                f"partitioned shuffle join {key}: "
+                f"right={'fact frame' if pj['table'] is None else pj['table']}"
+                f"{' OUTER' if pj['outer'] else ''}"
+                f" keys={'int32' if pj.get('k32') else 'int64'}"
+                f" pairs={caps.get('total', '?')}"
+                f" caps(l/r/pairs/exp)={caps.get('cap_l', '?')}/"
+                f"{caps.get('cap_r', '?')}/{caps.get('cap_pairs', '?')}/"
+                f"{caps.get('cap_exp', '?')}")
+        lines.append(f"group domain: {self.domain} "
+                     f"({'sparse all_to_all shuffle' if self.sparse else 'dense psum partials'}), "
+                     f"{len(self.folds)} distributed fold(s)")
+        return "\n".join(lines)
+
     def result(self):
         """Run and wrap the output like the single-chip engine's
         ``QueryResult`` (same decoding / printing surface)."""

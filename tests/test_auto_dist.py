@@ -201,6 +201,18 @@ def test_ordered_topn_plans_distribute_in_order(dist_setup, q):
     assert got == want  # ordered comparison — row order must match
 
 
+def test_describe_distribution_plan(dist_setup, capsys):
+    """`run --devices N --explain-dist` prints the distribution plan."""
+    from mplan2vdl_tpu import cli
+
+    plan = os.path.join(TPCH10, "13.sql.mplan")
+    cli.main(["run", plan, "--cpu", "--devices", "8", "--explain-dist"])
+    err = capsys.readouterr().err
+    assert "fact table: customer" in err
+    assert "partitioned shuffle join" in err and "OUTER" in err
+    assert "orders.orders_customer" in err  # sharded, never replicated
+
+
 def test_no_aggregate_reports_not_distributable(dist_setup):
     """A pure projection/join plan has no aggregate stage to shard."""
     from mplan2vdl_tpu import mplan, passes, vir
