@@ -84,10 +84,18 @@ def _bucket(dest, n_dev, cap, arrays, fills):
 
 
 def owner_dest(keys, key_lo, key_hi, n_dev):
-    """Range-partition owner of each key; invalid (>= SENT_L) -> n_dev."""
+    """HASH-partition owner of each key; invalid (>= SENT_L) -> n_dev.
+
+    Hashing (Fibonacci multiply + xor-shift, wrap-around int arithmetic)
+    instead of key-range splitting: the owner's sort-merge never exploits
+    range order, and equal-width ranges from catalog bounds hotspot one
+    owner whenever the live keys cluster in a narrow band (skew-aware
+    repartitioning, BASELINE north star).  key_lo/key_hi are kept for
+    signature stability; only the sentinel check uses the dtype."""
     _, sent_l = key_sents(keys.dtype)
-    per_owner = -(-max(key_hi - key_lo, 1) // n_dev)
-    d = jnp.clip((keys - key_lo) // per_owner, 0, n_dev - 1)
+    h = keys.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    h = h ^ (h >> jnp.uint32(16))
+    d = (h % jnp.uint32(n_dev)).astype(keys.dtype)
     return jnp.where(keys < sent_l, d, n_dev)
 
 

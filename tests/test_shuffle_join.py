@@ -109,6 +109,32 @@ def test_invalid_rows_are_ignored(mesh8):
     np.testing.assert_array_equal(got_cnt, np.where(lk < nl, want, 0))
 
 
+def test_clustered_keys_spread_across_owners(mesh8):
+    """Keys clustered in a narrow band of a huge catalog range: hash
+    partitioning must spread them (range splitting would hotspot owner 0
+    and serialize every match there)."""
+    import jax.numpy as jnp
+
+    from mplan2vdl_tpu.parallel.shuffle_join import dest_histogram, owner_dest
+
+    rng = np.random.default_rng(3)
+    keys = jnp.asarray(rng.integers(1000, 1064, 4096), jnp.int32)
+    hist = np.asarray(dest_histogram(
+        owner_dest(keys, 0, 1_000_000, N_DEV), N_DEV))
+    assert hist.sum() == 4096
+    assert hist.max() < 4096 // 2, hist  # no owner holds a majority
+    # and the join over clustered keys stays exact
+    nl = nr = 512
+    lk = rng.integers(1000, 1064, nl).astype(np.int64)
+    rk = rng.integers(1000, 1064, nr).astype(np.int64)
+    srl = srr = nl // N_DEV
+    got_pairs, got_cnt, _ = _run_join(mesh8, lk, rk, srl, srr,
+                                      (0, 1_000_000))
+    want_pairs, want_cnt = _oracle_pairs(lk, rk)
+    assert got_pairs == want_pairs
+    np.testing.assert_array_equal(got_cnt, want_cnt)
+
+
 def test_negative_and_offset_key_bounds(mesh8):
     """key_bounds need not start at zero (catalog bounds rarely do)."""
     rng = np.random.default_rng(2)
