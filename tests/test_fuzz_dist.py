@@ -84,6 +84,63 @@ def _rand_join_plan(rng):
     return M.RGroupBy(child=rel, inputkeys=keys, outputaggs=tuple(aggs))
 
 
+def _rand_nested_plan(rng):
+    """Group-by OF a group-by (Q15/Q16 shape): the inner folds distribute,
+    the outer aggregates evaluate in the host-side group stage from the
+    seeded partials."""
+    cols = tuple(((LI, c), None) for c, _, _ in VALUE_COLS) + tuple(
+        ((LI, c), None) for c in KEY_COLS)
+    rel = M.RTable(tablename=(LI,), tablecolumns=cols)
+    for _ in range(rng.randint(0, 2)):
+        rel = M.RSelect(child=rel, predicate=_pred(
+            rng, lambda c: (LI, c)))
+    k1, k2 = rng.sample(KEY_COLS, 2)
+    inner_aggs = [
+        (M.GFold(rng.choice([M.FSUM, M.FMAX, M.FMIN]),
+                 M.MRef(name=(LI, rng.choice(VALUE_COLS)[0]))), ("a0",)),
+        (M.GCount(), ("a1",)),
+        (M.GFold(M.FCHOOSE, M.MRef(name=(LI, k1))), (k1,)),
+        (M.GFold(M.FCHOOSE, M.MRef(name=(LI, k2))), (k2,)),
+    ]
+    inner = M.RGroupBy(child=rel,
+                       inputkeys=(((LI, k1), None), ((LI, k2), None)),
+                       outputaggs=tuple(inner_aggs))
+    outer_aggs = [
+        (M.GFold(rng.choice([M.FSUM, M.FMAX, M.FMIN]),
+                 M.MRef(name=("a0",))), ("s0",)),
+        (M.GFold(M.FSUM, M.MRef(name=("a1",))), ("s1",)),
+        (M.GFold(M.FCHOOSE, M.MRef(name=(k1,))), (k1,)),
+    ]
+    return M.RGroupBy(child=inner, inputkeys=(((k1,), None),),
+                      outputaggs=tuple(outer_aggs))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_nested_groupby_three_way(fuzz_setup, seed):
+    from mplan2vdl_tpu import passes, vir
+    from mplan2vdl_tpu.engine.lower import CompiledQuery
+    from mplan2vdl_tpu.oracle import relinterp
+    from mplan2vdl_tpu.parallel import auto
+
+    store, cfg, mesh = fuzz_setup
+    rng = random.Random(5000 + seed)
+    m = _rand_nested_plan(rng)
+    oracle = relinterp.run_oracle(store, m)
+    want = sorted(zip(*[np.asarray(a, np.int64).tolist()
+                        for _, a in oracle.cols]))
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+    got = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                       for c in CompiledQuery(cfg, vexps, store)().columns]))
+    assert got == want, f"seed {seed}: single-chip vs oracle"
+    try:
+        dq = auto.distribute(cfg, store, vexps, mesh)
+    except auto.NotDistributable:
+        return
+    dist_rows = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                             for _, _, c in dq()]))
+    assert dist_rows == want, f"seed {seed}: distributed vs oracle"
+
+
 @pytest.fixture(scope="module")
 def fuzz_setup():
     import jax
