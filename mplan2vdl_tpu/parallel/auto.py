@@ -1192,7 +1192,7 @@ class AutoDistributed:
             args = [self._shard(store.columns[nm]) for nm in fact_loads]
             args += [self._shard(store.columns[nm], part_meta_[nm[0]][1])
                      for nm in part_loads]
-            args += [jnp.asarray(store.columns[nm])
+            args += [self._replicated(store.columns[nm])
                      for nm in dim_loads + extra_full]
             return args
 
@@ -1374,10 +1374,17 @@ class AutoDistributed:
         args += [self._shard(self.store.columns[nm],
                              self.part_meta[nm[0]][1])
                  for nm in self.part_loads]
-        args += [jnp.asarray(self.store.columns[nm])
+        args += [self._replicated(self.store.columns[nm])
                  for nm in self.dim_loads + self.extra_full]
-        counts = jnp.asarray([self.fact_count], jnp.int64)
+        counts = self._replicated(np.asarray([self.fact_count], np.int64))
         outs = self._step(*args, counts)
+        if jax.process_count() > 1 and self.sparse:
+            # sparse-path outputs are row-sharded (P('d')): gather the
+            # global view on every host for the group stage
+            from jax.experimental import multihost_utils
+
+            outs = tuple(multihost_utils.process_allgather(o, tiled=True)
+                         for o in outs)
 
         c = Compiler(self.cfg, self.store)
         c.memo, c.group_cache, c.join_cache = {}, {}, {}
@@ -1491,7 +1498,21 @@ class AutoDistributed:
             else shard_rows * self.mesh.devices.size
         buf = np.zeros(padded, dtype=arr.dtype)
         buf[:len(arr)] = arr
-        return jax.device_put(buf, NamedSharding(self.mesh, P("d")))
+        sharding = NamedSharding(self.mesh, P("d"))
+        if jax.process_count() == 1:
+            return jax.device_put(buf, sharding)
+        # multi-host: every process holds the full table (the store loads
+        # host-side); each contributes only its addressable shards
+        return jax.make_array_from_callback(buf.shape, sharding,
+                                            lambda idx: buf[idx])
+
+    def _replicated(self, arr: np.ndarray) -> jax.Array:
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        sharding = NamedSharding(self.mesh, P())
+        a = np.asarray(arr)
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx: a[idx])
 
 
 def distribute(cfg: Config, store: ColumnStore, vexps: List[V.Vexp],
