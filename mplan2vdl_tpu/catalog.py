@@ -91,7 +91,15 @@ class Config:
     table_pkeys: Dict[Name, Name] = field(default_factory=dict)
     partial_fks: Dict[Tuple[Name, Name], Tuple[str, Tuple[Tuple[Name, Name], ...]]] = field(default_factory=dict)
     partial_pks: Dict[Name, Tuple[Name, ...]] = field(default_factory=dict)
+    # positional FK constraint aliases: MonetDB auto-names FK constraints
+    # "<tab>_fk<N>" by declaration order, so plans generated against such a
+    # database reference e.g. lineitem.%lineitem_fk1 even when the metadata
+    # snapshot names the join index lineitem_orders
+    fk_aliases: Dict[Name, Name] = field(default_factory=dict)
     tables: List[Table] = field(default_factory=list)
+
+    def canonical(self, name: Name) -> Name:
+        return self.fk_aliases.get(name, name)
 
     # ------------------------------------------------------------- query api
     def is_pkey(self, cols: Tuple[Name, ...]) -> Optional[Name]:
@@ -250,6 +258,20 @@ def make_config(
             else:
                 straight = tuple(sorted((b, a) for a, b in inst.cols))
             cfg.partial_fks[pair] = (inst.fkjoinorder, straight)
+
+    # positional FK-constraint aliases (<tab>_fk<N> by declaration order).
+    # Never shadow a REAL constraint name: schemas that already use fkN
+    # names may declare them out of numbering order (aliasing would
+    # cross-map them), so alias only names that do not exist.
+    for t in tables:
+        existing = {concat_name(t.name, fk.constraint)[1] for fk in t.fkeys}
+        for i, fk in enumerate(t.fkeys, 1):
+            canon = concat_name(t.name, fk.constraint)
+            alias = f"{t.name[0]}_fk{i}"
+            if canon[1] != alias and alias not in existing:
+                cfg.fk_aliases[(t.name[0], alias)] = canon
+                cfg.fk_aliases[(t.name[0], "%" + alias)] = \
+                    (canon[0], "%" + canon[1])
 
     # primary keys (Config.hs:164-166,190-192)
     for t in tables:

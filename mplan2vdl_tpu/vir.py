@@ -709,6 +709,7 @@ def load_as(cfg: Config, tablename: Name, colname: Name,
     (Vlite.hs:743-755)."""
     mask = pos_(get_ref_vector(cfg, tablename))
     outname = alias if alias is not None else colname
+    colname = cfg.canonical(colname)
     if len(colname) == 2 and colname[1] == "%TID%":
         return mask.with_(lineage=Lineage(col=colname, mask=mask),
                           name=outname)

@@ -132,6 +132,25 @@ def test_module_entry(monkeypatch, capsys):
     assert "FoldSum" in capsys.readouterr().out
 
 
+def test_positional_fk_aliases(capsys):
+    """MonetDB auto-names FK constraints <tab>_fk<N>; plans generated
+    against such a database (the ordered monetpch corpus) must compile
+    against a metadata snapshot whose join indexes carry descriptive
+    names (lineitem_orders) — the catalog aliases them positionally,
+    never shadowing schemas that already use fkN names (datagen's legacy
+    mode declares them out of numbering order)."""
+    from mplan2vdl_tpu import cli
+
+    B = "/root/reference/tests/tpch10noorder"
+    meta = ["-b", f"{B}/bounds.csv", "-t", f"{B}/storage.csv",
+            "-s", f"{B}/schema.msqldump", "--dictionary",
+            f"{B}/dictionary.csv", "-p"]
+    # monetpch Q17 references lineitem.%lineitem_fk3 / fk1 names
+    cli.main(["compile", "/root/reference/tests/monetpch/17.sql.mplan"]
+             + meta)
+    assert "FoldSum" in capsys.readouterr().out
+
+
 def test_agg_strategies_conformance(capsys):
     """Reference aggregation strategies shape the emitted VDL
     (Vlite.hs:1076-1098, make2LevelFold :1173-1194): --agghierarchical
