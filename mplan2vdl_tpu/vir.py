@@ -1370,8 +1370,18 @@ def _solve_join(cfg: Config, r: M.RJoin) -> List[Vexp]:
 
     if not specs and len(leftover) == 1 and isinstance(leftover[0], M.MBinop):
         cond = leftover[0]
-        keyl = sc(sleft, cond.left)
-        keyr = sc(sright, cond.right)
+        # the condition's sides need not match the children's order
+        # (monetpch Q2 writes `L2.x = L3.y` with L2 as the RIGHT child);
+        # unresolvable shapes go to the general equijoin
+        try:
+            keyl = sc(sleft, cond.left)
+            keyr = sc(sright, cond.right)
+        except KeyError:
+            try:
+                keyl = sc(sleft, cond.right)
+                keyr = sc(sright, cond.left)
+            except KeyError:
+                return _solve_equi_join(cfg, r, sleft, sright)
         # single-row side: broadcast-compare (Vlite.hs:694-713)
         if keyl.info.count == 1 and len(sleft.cols) == 1:
             bl = gather(keyl, zeros_(keyr))
