@@ -97,6 +97,27 @@ def _compile_to_vexps(text, cfg, push_joins, cleanup):
     return vexps
 
 
+def compile_to_text(plan_path, bounds, storage, schema, dictionary,
+                    extra=()):
+    """Programmatic `compile` (golden-VDL generation and tests): returns
+    the VDL text for a plan file against a metadata snapshot."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("plan")
+    _add_meta_args(ap)
+    _add_flag_args(ap)
+    args = ap.parse_args([plan_path, "-b", bounds, "-t", storage,
+                          "-s", schema, "--dictionary", dictionary,
+                          *extra])
+    cfg = _config_from_args(args)
+    from .vdl_emit import emit_vdl, emit_vlite
+
+    vexps = _compile_to_vexps(open(plan_path).read(), cfg, args.push_joins,
+                              args.cleanup)
+    if args.vdlformat:
+        return emit_vdl(vexps, cfg, show_metadata=args.metadata)
+    return emit_vlite(vexps, cfg)
+
+
 def cmd_compile(args):
     cfg = _config_from_args(args)
     text = open(args.plan).read() if args.plan != "-" else sys.stdin.read()

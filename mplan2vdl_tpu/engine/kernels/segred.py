@@ -27,8 +27,11 @@ SMALL_DOMAIN = 64
 def _ident(op: str, dtype):
     if op == "sum":
         return jnp.zeros((), dtype)
+    # true dtype extremes: a group whose values legitimately equal the
+    # dtype minimum must still max-reduce to that value (empty groups are
+    # dropped later by occupancy compaction, so the identity never leaks)
     info = np.iinfo(np.dtype(dtype.name))
-    return jnp.asarray(info.min + 1 if op == "max" else info.max, dtype)
+    return jnp.asarray(info.min if op == "max" else info.max, dtype)
 
 
 def _reduce(op: str, x):

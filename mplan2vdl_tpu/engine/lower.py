@@ -51,6 +51,25 @@ from .kernels import segred
 
 DENSE_DOMAIN_LIMIT = 1 << 20
 
+# Host->device transfers above ~50MB stall nondeterministically through the
+# tunneled device runtime (ROADMAP perf notes); ship large columns in
+# independently-committed chunks and stitch them on device.
+_XFER_CHUNK_BYTES = int(os.environ.get("MPLAN2VDL_XFER_CHUNK_MB", "32")) << 20
+
+
+def chunked_device_put(arr) -> jnp.ndarray:
+    """device_put that splits host arrays into <=32MB chunks so no single
+    RPC crosses the tunnel's stall threshold; small arrays go straight
+    through."""
+    a = np.asarray(arr)
+    if a.nbytes <= _XFER_CHUNK_BYTES or a.ndim != 1:
+        return jnp.asarray(a)
+    per = max(_XFER_CHUNK_BYTES // max(a.dtype.itemsize, 1), 1)
+    parts = [jax.device_put(a[i:i + per]) for i in range(0, len(a), per)]
+    for p in parts:
+        p.block_until_ready()
+    return jnp.concatenate(parts)
+
 
 def dtype_for(info: ColInfo):
     l, u = info.bounds
@@ -79,15 +98,33 @@ def _vmin(a, b):
     return jnp.minimum(jnp.asarray(a, jnp.int64), jnp.asarray(b, jnp.int64))
 
 
-def _sel_positions(mask: jnp.ndarray) -> jnp.ndarray:
-    """Stable positions of mask-true rows first (the compaction core).
+def _compact_kernel_on() -> bool:
+    """The Pallas stream-compaction kernel runs on real TPUs (Mosaic) or
+    under the interpret-mode hook; MPLAN2VDL_NO_COMPACT_KERNEL=1 forces
+    the sort path everywhere."""
+    if os.environ.get("MPLAN2VDL_NO_COMPACT_KERNEL", "0") not in ("", "0"):
+        return False
+    if os.environ.get("MPLAN2VDL_PL_INTERPRET", "0") not in ("", "0"):
+        return True
+    return jax.default_backend() == "tpu"
 
-    Fuses the mask bit and the row index into ONE int32 key so the sort
-    moves 4 bytes/row instead of argsort's (bool, int64) 9 — the
-    compaction sorts dominate join-heavy queries (BENCH_QUERIES.md), so
-    this is the hottest sort in the engine.  Stability is free: the
-    embedded index makes the key total."""
+
+def _sel_positions(mask: jnp.ndarray) -> jnp.ndarray:
+    """Ascending positions of mask-true rows (the compaction core);
+    entries past the true count are unspecified-but-in-range (zero on the
+    kernel path, the unselected tail on the sort path) — every caller
+    consumes only the selected prefix.
+
+    TPU path: the Pallas stream-compaction kernel (kernels/compact.py),
+    0.22-0.29 ns/element = 4.4-9x over the fused sort below (measured on
+    v5e at 1.5M/6M rows, tools/probe_r2.py methodology).  Fallback fuses
+    the mask bit and row index into ONE int32 sort key so the sort moves
+    4 bytes/row instead of argsort's (bool, int64) 9."""
     n = mask.shape[0]
+    if n >= 4096 and n < (1 << 30) and _compact_kernel_on():
+        from .kernels.compact import compact_positions
+
+        return compact_positions(mask)
     if n < (1 << 30):
         fused = (jnp.where(mask, 0, 1 << 30).astype(jnp.int32)
                  + jnp.arange(n, dtype=jnp.int32))
@@ -865,13 +902,24 @@ class CompiledQuery:
 
     def device_args(self):
         if self._args is None:
-            self._args = tuple(jnp.asarray(self.store.columns[n])
+            self._args = tuple(chunked_device_put(self.store.columns[n])
                                for n in self.loads)
         return self._args
 
     def __call__(self, args=None) -> QueryResult:
         if args is None:
             args = self.device_args()
+        elif self._args is not None and args is not self._args:
+            # join_sizes/fsel_sizes were resolved against the construction-
+            # time store; different table contents could overflow an FSel's
+            # resolved buffer and silently truncate rows
+            ours = self._args
+            if (len(args) != len(ours)
+                    or any(a.shape != b.shape for a, b in zip(args, ours))):
+                raise ValueError(
+                    "CompiledQuery called with arrays of different shapes "
+                    "than the store it was compiled against; rebuild with "
+                    "compile_plan_text on the new store")
         outs = self._jitted(args)
         cols, names, dts = [], [], []
         for v, (data, valid) in zip(self.vexps, outs):

@@ -1147,6 +1147,12 @@ class AutoDistributed:
         off_g, off_d = tuple(off_g), tuple(off_d)
         rowid_ = tuple(od is not None and f.vx.foldop == V.FCHOOSE
                        for f, od in zip(folds_, off_d))
+        # FCHOOSE contract is "any value of the group" (Vlite.hs:116); the
+        # distributed combine uses max, which may pick a different (equally
+        # valid) representative than single-chip first-row order when the
+        # chosen column is not functionally dependent on the group key.
+        # TPC-H FChoose columns are FD on the key, so outputs still match;
+        # row-id chains combine with min to preserve first-row semantics.
         fold_ops = tuple(
             "min" if rid else {V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
                                V.FCHOOSE: "max"}[f.vx.foldop]

@@ -5,7 +5,9 @@ Emits the numbered ``id,Op,args...`` statement list with global value
 numbering (hash-consed DAG -> shared statement ids, Vdl.hs:294-320), the
 ``MaterializeCompact(Project rename)`` output wrapping with
 ``name__table__col`` labels (Vdl.hs:271-292), and optional ``;; Metadata``
-annotations (Vdl.hs:455-477).
+annotations (Vdl.hs:455-477).  Statement-id arguments print through the
+``Id`` newtype's derived Show ("Id 7") while the statement's own leading
+id prints bare (printLine destructures it, Vdl.hs:456).
 
 Vocabulary mapping notes:
   * Leq/Geq lower into Greater/Equals/LogicalOr combos and Neq into
@@ -16,11 +18,14 @@ Vocabulary mapping notes:
     backend idiosyncrasy with no executable target here.
   * JoinIndex/DictMap are capability extensions; they emit as the
     ``HashJoin<Side>`` / ``DictMap`` extension vocabulary.
+  * The vlite variant (``--vliteformat``) drops the "val" fillers, prints
+    outputs with no leading id as ``name,Output,typestring,Id N``
+    (toVList, Vdl.hs:371-407,467-476).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple, Union
 
 from . import vir as V
 from . import mplan as M
@@ -28,16 +33,29 @@ from .catalog import Config
 from .mtypes import DDate, DDecimal, DString
 from .names import Name, name_str
 
+# statement parts: plain strings are literals; ("id", N) is a statement
+# reference, rendered "Id N"
+Part = Union[str, Tuple[str, int]]
+
+
+def _render(parts: List[Part]) -> List[str]:
+    return [p if isinstance(p, str) else f"Id {p[1]}" for p in parts]
+
 
 class _Emitter:
-    def __init__(self, cfg: Config, show_metadata: bool = False):
+    """Shared numbering/CSE core; ``vlite`` switches the per-op argument
+    layout (toVoodooList vs toVList)."""
+
+    def __init__(self, cfg: Config, show_metadata: bool = False,
+                 vlite: bool = False):
         self.cfg = cfg
         self.show_metadata = show_metadata
+        self.vlite = vlite
         self.lines: List[str] = []
         self.ids: Dict[tuple, int] = {}
         self.next_id = 1
 
-    def line(self, key: tuple, parts: List[str],
+    def line(self, key: tuple, parts: List[Part],
              meta: Optional[str] = None) -> int:
         hit = self.ids.get(key)
         if hit is not None:
@@ -45,7 +63,7 @@ class _Emitter:
         iden = self.next_id
         self.next_id += 1
         self.ids[key] = iden
-        txt = ",".join([str(iden)] + parts)
+        txt = ",".join([str(iden)] + _render(parts))
         if meta and self.show_metadata:
             txt += " ;; " + meta
         self.lines.append(txt)
@@ -53,16 +71,23 @@ class _Emitter:
 
     # helpers mirroring Vdl.hs combinators
     def binary(self, op: str, a: int, b: int) -> int:
+        if self.vlite:
+            return self.line(("bin", op, a, b), [op, ("id", a), ("id", b)])
         return self.line(("bin", op, a, b),
-                         [op, "val", str(a), "val", str(b), "val"])
+                         [op, "val", ("id", a), "val", ("id", b), "val"])
+
+    def rangev(self, rmin: int, ref: int, rstep: int) -> int:
+        if self.vlite:
+            parts = ["RangeV", str(rmin), ("id", ref), str(rstep)]
+        else:
+            parts = ["RangeV", "val", str(rmin), ("id", ref), str(rstep)]
+        return self.line(("rangev", rmin, ref, rstep), parts)
 
     def const(self, k: int, ref: int) -> int:
-        return self.line(("rangev", k, ref, 0),
-                         ["RangeV", "val", str(k), str(ref), "0"])
+        return self.rangev(k, ref, 0)
 
     def pos(self, ref: int) -> int:
-        return self.line(("rangev", 0, ref, 1),
-                         ["RangeV", "val", "0", str(ref), "1"])
+        return self.rangev(0, ref, 1)
 
     def gt(self, a, b):
         return self.binary("Greater", a, b)
@@ -83,25 +108,28 @@ class _Emitter:
         return iden
 
     def _load(self, n: Name) -> int:
-        # Load wrapped in a full val rename (makeload, Vdl.hs:161-168)
+        # Load wrapped in a full val rename (makeload, Vdl.hs:161-168);
+        # vlite's Project prints only the vector arg (toVList, Vdl.hs:374)
         inner = self.line(("load", n), ["Load", name_str(n)])
         keypath = name_str((n[1],) if len(n) > 1 else n)
+        if self.vlite:
+            return self.line(("loadp", n), ["Project", ("id", inner)])
         return self.line(("loadp", n),
-                         ["Project", "val", str(inner), keypath])
+                         ["Project", "val", ("id", inner), keypath])
 
     def _emit(self, v: V.Vexp) -> int:
         vx = v.vx
         if isinstance(vx, V.Load):
             return self._load(vx.name)
         if isinstance(vx, V.RangeC):
-            return self.line(("rangec", vx.rmin, vx.rcount, vx.rstep),
-                             ["RangeC", "val", str(vx.rmin), str(vx.rcount),
-                              str(vx.rstep)])
+            parts = (["RangeC", str(vx.rmin), str(vx.rcount), str(vx.rstep)]
+                     if self.vlite else
+                     ["RangeC", "val", str(vx.rmin), str(vx.rcount),
+                      str(vx.rstep)])
+            return self.line(("rangec", vx.rmin, vx.rcount, vx.rstep), parts)
         if isinstance(vx, V.RangeV):
             ref = self.emit(vx.rref)
-            return self.line(("rangev", vx.rmin, ref, vx.rstep),
-                             ["RangeV", "val", str(vx.rmin), str(ref),
-                              str(vx.rstep)])
+            return self.rangev(vx.rmin, ref, vx.rstep)
         if isinstance(vx, V.Binop):
             a = self.emit(vx.left)
             b = self.emit(vx.right)
@@ -137,15 +165,18 @@ class _Emitter:
         if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
             src = self.emit(vx.shsource)
             pos = self.emit(vx.shpos)
-            return self.line(("gather", src, pos),
-                             ["Gather", str(src), str(pos), "val"])
+            parts = (["Gather", ("id", src), ("id", pos)] if self.vlite else
+                     ["Gather", ("id", src), ("id", pos), "val"])
+            return self.line(("gather", src, pos), parts)
         if isinstance(vx, V.Shuffle) and vx.shop == V.SCATTER:
             src = self.emit(vx.shsource)
             pos = self.emit(vx.shpos)
             fold = self.pos(src)  # scatterfold arg (Vdl.hs:239-242)
-            return self.line(("scatter", src, fold, pos),
-                             ["Scatter", str(src), str(fold), "val",
-                              str(pos), "val"])
+            parts = (["Scatter", ("id", src), ("id", fold), ("id", pos)]
+                     if self.vlite else
+                     ["Scatter", ("id", src), ("id", fold), "val",
+                      ("id", pos), "val"])
+            return self.line(("scatter", src, fold, pos), parts)
         if isinstance(vx, V.Fold):
             g = self.emit(vx.fgroups)
             d = self.emit(vx.fdata)
@@ -158,36 +189,39 @@ class _Emitter:
             return self.binary("Partition", d, p)
         if isinstance(vx, V.Semisort):
             s = self.emit(vx.sdata)
-            return self.line(("semisort", s), ["Semisort", str(s)])
+            return self.line(("semisort", s), ["Semisort", ("id", s)])
         if isinstance(vx, V.SortPerm):  # extension vocabulary
             ks = [self.emit(k) for k in vx.keys]
             dirs = "".join("d" if d else "a" for d in vx.descs)
             return self.line(("sortperm", tuple(ks), vx.descs),
-                             ["SortPerm", dirs] + [str(k) for k in ks])
+                             ["SortPerm", dirs] + [("id", k) for k in ks])
         if isinstance(vx, V.VShuffle):
             a = self.emit(vx.varg)
-            return self.line(("vshuffle", a), ["Shuffle", str(a)])
+            return self.line(("vshuffle", a), ["Shuffle", ("id", a)])
         if isinstance(vx, V.Like):
             d = self.emit(vx.ldata)
             heap = self._load(vx.lcol + ("heap",))
-            return self.line(("like", d, heap, vx.lpattern),
-                             ["Like", "val", str(d), "val", str(heap), "val",
-                              vx.lpattern])
+            parts = (["Like", ("id", d), ("id", heap), vx.lpattern]
+                     if self.vlite else
+                     ["Like", "val", ("id", d), "val", ("id", heap), "val",
+                      vx.lpattern])
+            return self.line(("like", d, heap, vx.lpattern), parts)
         if isinstance(vx, V.CrossProduct):
             a = self.emit(vx.left)
             b = self.emit(vx.right)
             op = ("CrossProductOuter" if vx.variant == V.COUTER
                   else "CrossProductInner")
-            return self.line(("cross", op, a, b), [op, str(a), str(b)])
+            return self.line(("cross", op, a, b), [op, ("id", a), ("id", b)])
         if isinstance(vx, V.JoinIndex):  # extension vocabulary
             a = self.emit(vx.lkeys)
             b = self.emit(vx.rkeys)
             op = "HashJoin" + vx.jside.replace("_", " ").title().replace(" ", "")
-            return self.line(("join", vx.jside, a, b), [op, str(a), str(b)])
+            return self.line(("join", vx.jside, a, b),
+                             [op, ("id", a), ("id", b)])
         if isinstance(vx, V.DictMap):  # extension vocabulary
             d = self.emit(vx.ldata)
             return self.line(("dictmap", d, vx.mapping),
-                             ["DictMap", str(d), name_str(vx.lcol)])
+                             ["DictMap", ("id", d), name_str(vx.lcol)])
         raise TypeError(vx)
 
     def metadata_of(self, v: V.Vexp) -> str:
@@ -205,34 +239,38 @@ class _Emitter:
                 f"displaytype = {disp}, origin = {origin}}}")
 
 
+def _output_label(v: V.Vexp) -> str:
+    # output renaming: name__table__col (Vdl.hs:278-290)
+    if v.name is not None and v.lineage is not None:
+        label = name_str((v.name[-1],) + v.lineage.col)
+    elif v.name is not None:
+        label = v.name[-1]
+    elif v.lineage is not None:
+        label = name_str(("val",) + v.lineage.col)
+    else:
+        label = "val"
+    return label.replace(".", "__")
+
+
 def emit_vdl(vexps: List[V.Vexp], cfg: Config,
              show_metadata: bool = False) -> str:
     """Vexp DAG -> numbered VDL text (Vdl.hs:490-495)."""
     em = _Emitter(cfg, show_metadata)
     for v in vexps:
         iden = em.emit(v)
-        # output renaming: name__table__col (Vdl.hs:278-290)
-        if v.name is not None and v.lineage is not None:
-            label = name_str((v.name[-1],) + v.lineage.col)
-        elif v.name is not None:
-            label = v.name[-1]
-        elif v.lineage is not None:
-            label = name_str(("val",) + v.lineage.col)
-        else:
-            label = "val"
-        label = label.replace(".", "__")
+        label = _output_label(v)
         proj = em.line(("outp", iden, label),
-                       ["Project", label, str(iden), "val"],
+                       ["Project", label, ("id", iden), "val"],
                        meta=em.metadata_of(v))
-        em.line(("mat", proj), ["MaterializeCompact", str(proj)])
+        em.line(("mat", proj), ["MaterializeCompact", ("id", proj)])
     return "\n".join(em.lines)
 
 
 def emit_vlite(vexps: List[V.Vexp], cfg: Config) -> str:
-    """The vlite output variant: outputs labeled
-    ``name,Output,typestring`` with display-type strings
-    (Vdl.hs:371-407,467-476)."""
-    em = _Emitter(cfg, False)
+    """The vlite output variant: every output's MaterializeCompact prints
+    with NO leading id as ``name,Output,typestring,Id N`` with display-type
+    strings (printLine's VliteFormat special case, Vdl.hs:467-476)."""
+    em = _Emitter(cfg, False, vlite=True)
     lines: List[str] = []
     for v in vexps:
         iden = em.emit(v)
@@ -244,5 +282,5 @@ def emit_vlite(vexps: List[V.Vexp], cfg: Config) -> str:
         else:
             typ = "date"
         nm = v.name[-1] if v.name else "val"
-        lines.append(f"{nm},Output,{typ},{iden}")
+        lines.append(f"{nm},Output,{typ},Id {iden}")
     return "\n".join(em.lines + lines)

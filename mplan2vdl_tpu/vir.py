@@ -321,7 +321,13 @@ def infer_bounds(vx: Binop) -> Tuple[int, int]:
     if op == M.MAX:
         return (max(l1, l2), max(u1, u2))
     if op == M.MOD:
-        return (0, max(u2 - 1, 0))
+        # lax.rem is C-style: sign follows the dividend, so a negative
+        # dividend yields results in (-(|u2|-1), 0]; widen the lower bound
+        # accordingly or composite-key packing would get unsound bounds
+        hi = max(abs(l2), abs(u2))
+        ub = max(hi - 1, 0)
+        lb = -ub if l1 < 0 else 0
+        return (lb, ub)
     if op == M.BITAND:
         if l1 >= 0 and l2 >= 0:
             return (0, min(_max_for_width(vx.left), _max_for_width(vx.right)))
@@ -982,6 +988,13 @@ def _group_ids(gkey: Vexp) -> Vexp:
     The reference's Partition-against-dense-RangeC (Vlite.hs:1082-1098); the
     engine lowers the dense case to a plain subtraction."""
     kmin, kmax = gkey.info.bounds
+    if kmax == kmin:
+        # degenerate single-value domain: the reference skips the Partition
+        # entirely ("pivots would be empty", Vlite.hs:1085-1087) and the
+        # identity-scatter peephole leaves the key vector as the groups
+        if kmin == 0:
+            return gkey
+        return sub_(gkey, const_(kmin, gkey))
     pivots = complete(RangeC(rmin=kmin, rstep=1, rcount=kmax - kmin + 1))
     return complete(Partition(pivots=pivots, pdata=gkey))
 
@@ -1373,6 +1386,7 @@ def _solve_join(cfg: Config, r: M.RJoin) -> List[Vexp]:
         # the condition's sides need not match the children's order
         # (monetpch Q2 writes `L2.x = L3.y` with L2 as the RIGHT child);
         # unresolvable shapes go to the general equijoin
+        cond_op = cond.binop
         try:
             keyl = sc(sleft, cond.left)
             keyr = sc(sright, cond.right)
@@ -1380,18 +1394,22 @@ def _solve_join(cfg: Config, r: M.RJoin) -> List[Vexp]:
             try:
                 keyl = sc(sleft, cond.right)
                 keyr = sc(sright, cond.left)
+                # operands swapped: mirror asymmetric comparison ops so the
+                # predicate still reads value(cond.left) OP value(cond.right)
+                cond_op = {M.GT: M.LT, M.LT: M.GT,
+                           M.GEQ: M.LEQ, M.LEQ: M.GEQ}.get(cond_op, cond_op)
             except KeyError:
                 return _solve_equi_join(cfg, r, sleft, sright)
         # single-row side: broadcast-compare (Vlite.hs:694-713)
         if keyl.info.count == 1 and len(sleft.cols) == 1:
             bl = gather(keyl, zeros_(keyr))
-            boolean = binop(cond.binop, bl, keyr)
+            boolean = binop(cond_op, bl, keyr)
             gm = complete(Fold(foldop=FSEL, fgroups=pos_(boolean),
                                fdata=boolean))
             return gather_all(sright.cols, gm)
         if keyr.info.count == 1 and len(sright.cols) == 1:
             br = gather(keyr, zeros_(keyl))
-            boolean = binop(cond.binop, keyl, br)
+            boolean = binop(cond_op, keyl, br)
             gm = complete(Fold(foldop=FSEL, fgroups=pos_(boolean),
                                fdata=boolean))
             return gather_all(sleft.cols, gm)
