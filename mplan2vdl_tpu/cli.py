@@ -122,11 +122,12 @@ def cmd_compile(args):
     cfg = _config_from_args(args)
     text = open(args.plan).read() if args.plan != "-" else sys.stdin.read()
     if args.dot:
-        from .fe import lexer, plan_parser
-        from .dot import to_dot_string
+        # permissive re-parse: --dot renders plans the strict grammar or
+        # codegen rejects (reference MainFuns.hs:165-170, TreeParser.y)
+        from .fe import lexer
+        from .dot import plan_text_to_dot
 
-        rel = plan_parser.parse(lexer.strip_plan_comments(text))
-        print(to_dot_string(rel))
+        print(plan_text_to_dot(lexer.strip_plan_comments(text)))
         return
     from .vdl_emit import emit_vdl, emit_vlite
 
