@@ -621,6 +621,8 @@ class Compiler:
         domain = vx.fgroups.info.bounds[1] + 1
         dval = self._force(self.eval(vx.fdata))
         L_out = min(domain, g.length, dval.length)
+        if vx.foldop == V.FDISTINCT:
+            return self._eval_fold_distinct(v, vx, dt, domain, L_out)
         art = self._group_artifacts(vx.fgroups, L_out, vx.fmask)
         n = art["n"]
         data = dval.data[:n].astype(dt)
@@ -668,6 +670,67 @@ class Compiler:
                     shift *= 2
                 out = jnp.where(kmask, pm[jnp.clip(art["ends"], 0, n - 1)], 0)
         ngroups = art["ngroups"]
+        out = _mask_tail(out.astype(dt), ngroups, L_out)
+        return Val(data=out, valid=ngroups, length=L_out)
+
+    def _eval_fold_distinct(self, v: V.Vexp, vx: V.Fold, dt, domain: int,
+                            L_out: int) -> Val:
+        """count(distinct x) per group: sort (group id, value) pairs, then
+        count adjacent-unique pairs per group (the sort+adjacent-unique
+        strategy; a capability extension over the reference, which has no
+        distinct aggregate — src/notes.txt:60-63).
+
+        Output slots align with the other folds on the same group key:
+        ascending occupied group ids."""
+        gv = self._force(self.eval(vx.fgroups))
+        dv = self._force(self.eval(vx.fdata))
+        n = min(gv.length, dv.length)
+        idx = jnp.arange(n, dtype=jnp.int64)
+        validmask = idx < _vmin(gv.valid, dv.valid)
+        if vx.fmask is not None:
+            m = self._force(self.eval(vx.fmask))
+            validmask = validmask & (m.data[:n] != 0)
+        # int32 sort keys when bounds allow (halves sort traffic)
+        dlo, dhi = vx.fdata.info.bounds
+        use32 = (domain < 2**31 - 1 and dlo > -(2**31) + 1
+                 and dhi < 2**31 - 1)
+        kdt = jnp.int32 if use32 else jnp.int64
+        ids = jnp.clip(gv.data[:n].astype(kdt), 0, domain - 1)
+        ids_ok = jnp.where(validmask, ids, kdt(domain))
+        vals = jnp.where(validmask, dv.data[:n].astype(kdt), kdt(0))
+        sid, sval = lax.sort((ids_ok, vals), num_keys=2)
+        svalid = sid < domain
+        prev_id = jnp.concatenate([sid[:1] - 1, sid[:-1]])
+        prev_val = jnp.concatenate([sval[:1] - 1, sval[:-1]])
+        new_pair = ((sid != prev_id) | (sval != prev_val)) & svalid
+        if domain <= segred.SMALL_DOMAIN:
+            agg, counts = segred.masked_group_reduce_with_counts(
+                new_pair.astype(jnp.int64), jnp.where(svalid, sid,
+                                                      kdt(domain)),
+                domain, "sum")
+            occ = counts > 0
+            ngroups = jnp.sum(occ.astype(jnp.int64))
+            (sel,) = jnp.nonzero(occ, size=L_out, fill_value=0)
+            out = agg[sel]
+        else:
+            # run-segmented over the already-sorted stream: group run
+            # heads -> cumsum of new-pair flags at run boundaries
+            head = (sid != prev_id) & svalid
+            ngroups = jnp.sum(head.astype(jnp.int64))
+            starts = _sel_positions(head)[:L_out]
+            next_start = jnp.concatenate(
+                [starts[1:], jnp.full((1,), n, starts.dtype)])
+            kidx = jnp.arange(L_out, dtype=jnp.int64)
+            ends = jnp.where(kidx + 1 < ngroups, next_start - 1, 0)
+            last_valid = jnp.sum(svalid.astype(jnp.int64)) - 1
+            ends = jnp.where(kidx + 1 == ngroups, last_valid, ends)
+            cs = jnp.cumsum(new_pair.astype(jnp.int64))
+            at_end = cs[jnp.clip(ends, 0, n - 1)]
+            start_idx = jnp.clip(starts.astype(jnp.int64), 0, n - 1)
+            before = jnp.where(start_idx > 0,
+                               cs[jnp.clip(start_idx - 1, 0, n - 1)], 0)
+            kmask = kidx < ngroups
+            out = jnp.where(kmask, at_end - before, 0)
         out = _mask_tail(out.astype(dt), ngroups, L_out)
         return Val(data=out, valid=ngroups, length=L_out)
 

@@ -52,6 +52,9 @@ class Literal:
 class Call:
     fname: Name
     args: Tuple["Expr", ...]
+    # MonetDB's DISTINCT-aggregate call modifier (`sys.count unique no nil
+    # (col)`); extension — the reference grammar has no such token
+    unique: bool = False
 
 
 @dataclass(frozen=True)
@@ -356,13 +359,20 @@ class _P:
             self.expect(RPAREN)
             self.parse_attrs()
             return Call(fname=name, args=tuple(args))
-        if nxt is not None and nxt.kind == WORD and nxt.text == "no nil":
-            self.next()
+        if nxt is not None and nxt.kind == WORD and nxt.text in ("no nil",
+                                                                 "unique"):
+            uniq = False
+            if self.peek().text == "unique":  # distinct-aggregate modifier
+                self.next()
+                uniq = True
+            if (self.peek() is not None and self.peek().kind == WORD
+                    and self.peek().text == "no nil"):
+                self.next()
             self.expect(LPAREN)
             args = self.parse_expr_list(allow_empty=True)
             self.expect(RPAREN)
             self.parse_attrs()
-            return Call(fname=name, args=tuple(args))
+            return Call(fname=name, args=tuple(args), unique=uniq)
         if nxt is not None and nxt.kind in (LIT, LBRACK) and len(name) == 1:
             ts = TypeSpec(name[0])
             return self.finish_typespec(ts)

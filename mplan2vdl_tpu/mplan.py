@@ -143,7 +143,18 @@ class GFold:
     expr: ScalarExpr
 
 
-GroupAgg = Union[GAvg, GCount, GFold]
+@dataclass(frozen=True)
+class GCountDistinct:
+    """count(distinct x): MonetDB prints the ``unique`` call modifier
+    (``sys.count unique no nil (col)``).  A capability extension — the
+    reference has no distinct aggregate (src/notes.txt:60-63); MonetDB
+    itself usually rewrites to a groupby-of-groupby (Q16's committed
+    shape), which still compiles through the ordinary path."""
+
+    expr: ScalarExpr
+
+
+GroupAgg = Union[GAvg, GCount, GFold, GCountDistinct]
 
 
 # -------------------------------------------------------------- relational ops
@@ -443,6 +454,17 @@ def _solve_group_output(cfg: Config, e: P.Expr) -> Tuple[GroupAgg, Optional[Name
         if len(inner.args) == 1:
             arg = inner.args[0].expr
             sub = rsc(cfg, arg)
+            if inner.unique:
+                # the `unique` call modifier = SQL DISTINCT aggregates;
+                # min/max over distinct values equal plain min/max
+                if fname == ("count",):
+                    return GCountDistinct(sub), e.alias
+                if fname == ("max",):
+                    return GFold(FMAX, sub), e.alias
+                if fname == ("min",):
+                    return GFold(FMIN, sub), e.alias
+                raise LowerError(
+                    f"unsupported distinct aggregate: {fname}")
             if fname == ("sum",):
                 return GFold(FSUM, sub), e.alias
             if fname == ("avg",):

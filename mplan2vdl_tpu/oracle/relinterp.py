@@ -423,6 +423,14 @@ class Interp:
                     val = np.bincount(inv, minlength=ng).astype(np.int64)
                 dt = DDecimal(0)
                 nm = alias
+            elif isinstance(agg, M.GCountDistinct):
+                v, _ = self.scalar_dt(scope_frame, agg.expr)
+                pairs = np.stack([inv, v.astype(np.int64)], axis=1)
+                upairs = np.unique(pairs, axis=0)
+                val = np.bincount(upairs[:, 0],
+                                  minlength=ng).astype(np.int64)
+                dt = DDecimal(0)
+                nm = alias
             elif isinstance(agg, M.GAvg):
                 v, dt = self.scalar_dt(scope_frame, agg.expr)
                 s = np.zeros(ng, dtype=np.int64)

@@ -947,6 +947,66 @@ class _ShardCompiler(Compiler):
         return super()._eval(v)
 
 
+def _rewrite_distinct_folds(vexps: List[V.Vexp]) -> List[V.Vexp]:
+    """Decompose ``Fold(FDistinct, g, x)`` into the distributable
+    groupby-of-groupby shape (MonetDB's own count(distinct) rewrite, the
+    committed Q16 pattern): an inner stage grouped by the (group key,
+    distinct values...) composite, then outer folds per group key.
+
+    Because the shard algebra wants ONE shared innermost domain, every
+    SIBLING fold on the same group key goes two-level as well — inner
+    partial by the composite, outer combine over the inner frame
+    (sum-of-sums, min-of-mins, choose-of-chooses; the FDistinct itself
+    becomes an outer FDistinct over the per-composite value choices,
+    where it deduplicates exactly).  Inner folds shard like any group-by
+    (sparse composites ride the all_to_all shuffle-agg path); outer
+    folds run in the host-side group stage, whose engine lowers
+    FDistinct natively."""
+    from .. import passes
+
+    folds = _collect_folds(vexps)
+    dists = [f for f in folds if f.vx.foldop == V.FDISTINCT]
+    if not dists:
+        return vexps
+    fams = {}
+    for d in dists:
+        fams.setdefault(d.vx.fgroups.skey, []).append(d)
+    plans = {}
+    for gk, ds in fams.items():
+        g = ds[0].vx.fgroups
+        vals, seen = [], set()
+        for d in ds:
+            if d.vx.fdata.skey not in seen:
+                seen.add(d.vx.fdata.skey)
+                vals.append(d.vx.fdata)
+        try:
+            pair = g
+            for vv in vals:
+                pair = V.compose_keys(pair, vv)
+        except AssertionError:
+            raise NotDistributable(
+                "count(distinct): composite (group, values) key exceeds "
+                "the 64-bit budget")
+        plans[gk] = V._group_ids(pair)
+
+    def rule(vx):
+        if not (isinstance(vx, V.Fold) and vx.foldop != V.FSEL):
+            return None
+        pids = plans.get(vx.fgroups.skey)
+        if pids is None:
+            return None
+        base = V.complete(V.Fold(foldop=V.FCHOOSE, fgroups=pids,
+                                 fdata=vx.fgroups, fmask=vx.fmask))
+        outer_ids = V._group_ids(base)
+        inner_op = V.FCHOOSE if vx.foldop == V.FDISTINCT else vx.foldop
+        inner = V.complete(V.Fold(foldop=inner_op, fgroups=pids,
+                                  fdata=vx.fdata, fmask=vx.fmask))
+        return V.complete(V.Fold(foldop=vx.foldop, fgroups=outer_ids,
+                                 fdata=inner))
+
+    return passes.xform(rule, vexps)
+
+
 @dataclass
 class AutoDistributed:
     """A qualifying plan compiled for the mesh."""
@@ -957,6 +1017,7 @@ class AutoDistributed:
     mesh: Mesh
 
     def __post_init__(self):
+        self.vexps = _rewrite_distinct_folds(self.vexps)
         folds = _collect_folds(self.vexps)
         if not folds:
             raise NotDistributable("no aggregate stage")

@@ -181,7 +181,9 @@ class _Emitter:
             g = self.emit(vx.fgroups)
             d = self.emit(vx.fdata)
             op = {V.FSUM: "FoldSum", V.FMAX: "FoldMax", V.FMIN: "FoldMin",
-                  V.FCHOOSE: "FoldChoose", V.FSEL: "FoldSelect"}[vx.foldop]
+                  V.FCHOOSE: "FoldChoose", V.FSEL: "FoldSelect",
+                  # extension vocabulary: count(distinct) fold
+                  V.FDISTINCT: "FoldDistinct"}[vx.foldop]
             return self.binary(op, g, d)
         if isinstance(vx, V.Partition):
             d = self.emit(vx.pdata)

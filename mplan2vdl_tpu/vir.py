@@ -42,6 +42,9 @@ from .names import Name, NameTable, name_str
 UNIQUE, ANY = "Unique", "Any"
 GATHER, SCATTER = "Gather", "Scatter"
 FSUM, FMAX, FMIN, FSEL, FCHOOSE = "FSum", "FMax", "FMin", "FSel", "FChoose"
+# extension: per-group count of DISTINCT fdata values (count(distinct x);
+# the reference lacks this entirely, src/notes.txt:60-63 lists it as a gap)
+FDISTINCT = "FDistinct"
 COUTER, CINNER = "COuter", "CInner"
 
 
@@ -450,6 +453,12 @@ def infer_metadata(vx: Vx) -> ColInfo:
         count_bound = min(gupper - glower + 1, g.count, d.count)
         count_bound = max(count_bound, 1)
         dt = d.dtype
+        if vx.foldop == FDISTINCT:
+            # per-group distinct-value count: at most the group's row count
+            # and at most the value domain size
+            dist_max = min(max(d.count, 1), dupper - dlower + 1)
+            return ColInfo(bounds=(0, dist_max), count=count_bound,
+                           stype=SInt64(), dtype=_POINT0, trailing_zeros=0)
         if vx.foldop == FSUM:
             dcount = max(d.count, 1)
             ext = [dlower, dlower * dcount, dupper, dupper * dcount]
@@ -1041,6 +1050,14 @@ def solve_agg(cfg: Config, env: Env, after_env: Env, gkey: Vexp,
         gsums = solve_agg(cfg, env, after_env, gkey, M.GFold(M.FSUM, agg.expr))
         gcounts = solve_agg(cfg, env, after_env, gkey, M.GCount())
         return div_(gsums, gcounts)
+    if isinstance(agg, M.GCountDistinct):
+        # first-class distinct fold: the engine lowers it as a (group,
+        # value) sort + adjacent-unique count; the distributed planner
+        # rewrites it into the groupby-of-groupby decomposition
+        # (parallel/auto.py) when the composite key budget allows
+        gdata = sc(env, agg.expr)
+        ids = _group_ids(gkey)
+        return complete(Fold(foldop=FDISTINCT, fgroups=ids, fdata=gdata))
     if isinstance(agg, M.GCount):
         if agg.col is not None:
             hit = env.table.lookup_opt(agg.col)
