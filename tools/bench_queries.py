@@ -33,7 +33,17 @@ def main():
     from mplan2vdl_tpu.engine import datagen
     from mplan2vdl_tpu.engine.lower import compile_plan_text
 
-    store = datagen.generate(sf=args.sf, seed=1)
+    cache = f"/root/.cache/mplan2vdl_store_sf{args.sf:g}_seed1"
+    if os.path.isdir(cache):
+        from mplan2vdl_tpu.engine.columnstore import ColumnStore
+
+        store = ColumnStore.load(cache)
+    else:
+        store = datagen.generate(sf=args.sf, seed=1)
+        try:
+            store.save(cache)
+        except Exception:
+            pass
     cfg = store.make_catalog()
     n_li = store.table_count(("lineitem",))
 
