@@ -1,0 +1,82 @@
+"""Multi-host scaling-efficiency sweep (BASELINE.md: >=70% rows/s scaling
+efficiency at >=2 hosts).
+
+Runs a query distributed at 1/2/4 processes (8 devices total, split
+evenly) via jax.distributed over localhost — the exact code path a real
+pod runs — and reports rows/s plus efficiency vs the 1-process run.
+
+On this machine the processes share CPU cores, so the ABSOLUTE numbers
+only validate the methodology; on a real multi-host slice the same
+script runs unmodified with JAX_COORDINATOR_ADDRESS et al. set by the
+launcher (each host runs one process and `--procs` becomes the host
+count).
+
+Usage: python tools/scaling_sweep.py [--query 03] [--sf 0.05]
+       [--procs 1,2,4] [--reps 3]
+"""
+
+import argparse
+import os
+import re
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_at(nprocs: int, q: str, sf: float, reps: int) -> float:
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import test_multiprocess as mp
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = "/tmp/scaling_worker.py"
+    with open(script, "w") as f:
+        f.write(mp._WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["MP_SF"] = str(sf)
+    env["MP_REPS"] = str(reps)
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(pid), str(port), q, str(nprocs),
+         "tpch10noorder", "time"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO) for pid in range(nprocs)]
+    out0 = None
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        if p.returncode != 0:
+            raise RuntimeError(err[-2000:])
+        if "MP-TIME" in out:
+            out0 = out
+    m = re.search(r"s=([0-9.]+) rows=(\d+)", out0)
+    t, rows = float(m.group(1)), int(m.group(2))
+    return rows / t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--query", default="03")
+    ap.add_argument("--sf", type=float, default=0.05)
+    ap.add_argument("--procs", default="1,2,4")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    results = []
+    for n in [int(x) for x in args.procs.split(",")]:
+        rps = run_at(n, args.query.zfill(2), args.sf, args.reps)
+        results.append((n, rps))
+        print(f"procs={n}: {rps/1e6:.2f}M lineitem-rows/s", flush=True)
+    base_n, base = results[0]
+    print("\n| processes | M rows/s | scaling efficiency |")
+    print("|---|---|---|")
+    for n, rps in results:
+        eff = rps / (base * n / base_n)
+        print(f"| {n} | {rps/1e6:.2f} | {eff:.0%} |")
+
+
+if __name__ == "__main__":
+    main()
