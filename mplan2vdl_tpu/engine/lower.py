@@ -47,6 +47,7 @@ from ..catalog import ColInfo, Config
 from ..mtypes import DDate, DDecimal, DString, INT32_MAX, INT32_MIN
 from ..names import Name, name_str
 from .columnstore import ColumnStore
+from . import mergesearch
 from .kernels import segred
 
 DENSE_DOMAIN_LIMIT = 1 << 20
@@ -130,6 +131,21 @@ def _sel_positions(mask: jnp.ndarray) -> jnp.ndarray:
                  + jnp.arange(n, dtype=jnp.int32))
         return lax.sort(fused) & ((1 << 30) - 1)
     return jnp.argsort(~mask, stable=True)
+
+
+def _expand_li(cum: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """``searchsorted(cum, k, 'right')`` for the join-expansion iota
+    queries: which left row's output run contains each output slot.
+    Large expansions rank via the tagged co-sort (mergesearch) instead of
+    XLA's serialized binary search; cum <= total <= B so int32 keys are
+    always safe below 2^30."""
+    B = int(k.shape[0])
+    if B >= mergesearch.MIN_QUERIES and B < 2**30:
+        li = mergesearch.merge_searchsorted(
+            cum.astype(jnp.int32), k.astype(jnp.int32), side="right",
+            key_hi=B)
+        return li.astype(jnp.int64)
+    return jnp.searchsorted(cum, k, side="right")
 
 
 def _mask_tail(data: jnp.ndarray, valid, length: int) -> jnp.ndarray:
@@ -303,8 +319,19 @@ class Compiler:
             idx = jnp.arange(n, dtype=jnp.int64)
             limit = _vmin(src.valid, pos.valid)
             p = jnp.where(idx < limit, pos.data[:n].astype(jnp.int64), L)
-            out = jnp.zeros((L,), dt).at[p].set(
-                src.data[:n].astype(dt), mode="drop")
+            if (n >= 4096 and L < (1 << 30) and _compact_kernel_on()
+                    and vx.shpos.quant == V.UNIQUE
+                    and _monotone_positions(vx.shpos)):
+                # ascending unique positions (FK mask scatters, compaction
+                # composition): the Pallas monotone-scatter kernel streams
+                # writes instead of XLA's ~7ns/element serialized scatter
+                from .kernels.scatter import monotone_scatter
+
+                out = monotone_scatter(p, src.data[:n].astype(dt), L,
+                                       out_dtype=dt)
+            else:
+                out = jnp.zeros((L,), dt).at[p].set(
+                    src.data[:n].astype(dt), mode="drop")
             return Val(data=out, valid=L, length=L)
 
         if isinstance(vx, V.Fold) and vx.foldop == V.FSEL:
@@ -365,11 +392,25 @@ class Compiler:
             dval = self._force(self.eval(vx.ldata))
             src = np.asarray([a for a, _ in vx.mapping], dtype=np.int64)
             dstc = np.asarray([b for _, b in vx.mapping], dtype=np.int64)
-            sarr = jnp.asarray(src)
-            darr = jnp.asarray(dstc)
-            pos = jnp.clip(jnp.searchsorted(sarr, dval.data.astype(jnp.int64)),
-                           0, len(src) - 1)
-            hitv = jnp.where(sarr[pos] == dval.data, darr[pos], 0)
+            if len(src) <= 64:
+                # small maps: a fused select chain (one compare+select per
+                # entry, fully vectorized) beats any search
+                hitv = jnp.zeros(dval.data.shape, jnp.int64)
+                for a, b in zip(src, dstc):
+                    hitv = jnp.where(dval.data == int(a), jnp.int64(int(b)),
+                                     hitv)
+            else:
+                sarr = jnp.asarray(src)
+                darr = jnp.asarray(dstc)
+                key_hi = int(max(abs(src).max(),
+                                 abs(vx.ldata.info.bounds[0]),
+                                 abs(vx.ldata.info.bounds[1]))) + 1
+                pos = jnp.clip(
+                    mergesearch.searchsorted_fast(
+                        sarr, dval.data.astype(jnp.int64), "left",
+                        key_hi=key_hi),
+                    0, len(src) - 1)
+                hitv = jnp.where(sarr[pos] == dval.data, darr[pos], 0)
             out = _mask_tail(hitv.astype(dt), dval.valid, dval.length)
             return Val(data=out, valid=dval.valid, length=dval.length)
 
@@ -412,20 +453,31 @@ class Compiler:
         # sidesteps TPU int64 emulation (sort dominates join cost)
         klo = min(lkeys.info.bounds[0], rkeys.info.bounds[0])
         khi = max(lkeys.info.bounds[1], rkeys.info.bounds[1])
-        use32 = (klo > -(2**31) and khi < 2**31 - 2
+        use32 = (klo > -(2**31) and khi < 2**31 - 3
                  and max(n, m) < 2**31)
         kdt = jnp.int32 if use32 else jnp.int64
-        SENT_R = kdt(2**31 - 1) if use32 else jnp.int64(2**62)
-        SENT_L = kdt(2**31 - 2) if use32 else jnp.int64(2**62 - 1)
+        # sentinels sit just above the real key domain (not at dtype max)
+        # so the tagged co-sort below can pack key*4+tag into the same
+        # dtype whenever the domain allows
+        SENT_L = kdt(khi + 1) if use32 else jnp.int64(2**62 - 1)
+        SENT_R = kdt(khi + 2) if use32 else jnp.int64(2**62)
         ridx = jnp.arange(m, dtype=kdt)
         r_ok = jnp.where(ridx < jnp.asarray(rv.valid, kdt),
                          rv.data.astype(kdt), SENT_R)
         rs, rs_idx = lax.sort((r_ok, ridx), num_keys=1)
+        # probe phase: jnp.searchsorted serializes one ~7ns gather per
+        # binary-search step on TPU (~143 ns/probe over a 512K table,
+        # tools/probe_sort.py); the tagged co-sort ranks every probe in
+        # two 1.6 ns/element sorts — both sides in ONE merge
         lidx = jnp.arange(n, dtype=kdt)
         l_ok = jnp.where(lidx < jnp.asarray(lv.valid, kdt),
                          lv.data.astype(kdt), SENT_L)
-        lo = jnp.searchsorted(rs, l_ok, side="left")
-        hi = jnp.searchsorted(rs, l_ok, side="right")
+        if n >= mergesearch.MIN_QUERIES:
+            lo, hi = mergesearch.merge_lo_hi(
+                r_ok, l_ok, key_hi=max(abs(klo), khi + 2) if use32 else None)
+        else:
+            lo = jnp.searchsorted(rs, l_ok, side="left")
+            hi = jnp.searchsorted(rs, l_ok, side="right")
         cnt = (hi - lo).astype(jnp.int64)
         cum = jnp.cumsum(cnt)
         total = cum[-1] if n > 0 else jnp.int64(0)
@@ -456,7 +508,7 @@ class Compiler:
         outer = side in (V.JOUTER_LEFT, V.JOUTER_RIGHT, V.JOUTER_VALID)
         k = jnp.arange(B, dtype=jnp.int64)
         if not outer:
-            li = jnp.searchsorted(art["cum"], k, side="right")
+            li = _expand_li(art["cum"], k)
             li_c = jnp.clip(li, 0, n - 1)
             base = art["cum"][li_c] - art["cnt"][li_c]
             rpos = art["lo"][li_c] + (k - base)
@@ -474,8 +526,8 @@ class Compiler:
         unmatched = (art["cnt"] == 0) & lmask
         n_un = jnp.sum(unmatched.astype(jnp.int64))
         total_outer = total + n_un
-        (un_sel,) = jnp.nonzero(unmatched, size=n, fill_value=0)
-        li = jnp.searchsorted(art["cum"], k, side="right")
+        un_sel = _sel_positions(unmatched)[:n]
+        li = _expand_li(art["cum"], k)
         li_c = jnp.clip(li, 0, n - 1)
         base = art["cum"][li_c] - art["cnt"][li_c]
         rpos = art["lo"][li_c] + (k - base)
@@ -634,7 +686,7 @@ class Compiler:
                 data, art["ids_ok"], domain, opname)
             occ = counts > 0
             ngroups = jnp.sum(occ.astype(jnp.int64))
-            (sel,) = jnp.nonzero(occ, size=L_out, fill_value=0)
+            sel = _sel_positions(occ)[:L_out]
             # min/max over empty segments yield identity sentinels; the
             # occupancy compaction drops those slots
             out = agg[sel]
@@ -710,7 +762,7 @@ class Compiler:
                 domain, "sum")
             occ = counts > 0
             ngroups = jnp.sum(occ.astype(jnp.int64))
-            (sel,) = jnp.nonzero(occ, size=L_out, fill_value=0)
+            sel = _sel_positions(occ)[:L_out]
             out = agg[sel]
         else:
             # run-segmented over the already-sorted stream: group run
@@ -780,7 +832,7 @@ class Compiler:
             cache[fam_idx] = hit
         dt = dtype_for(v.info)
         L_out = min(fam.domain, v.info.count)
-        (sel,) = jnp.nonzero(hit["occ"], size=L_out, fill_value=0)
+        sel = _sel_positions(hit["occ"])[:L_out]
         vals = hit["out"][sel, agg_idx]
         data = _mask_tail(vals.astype(dt), hit["ngroups"], L_out)
         return Val(data=data, valid=hit["ngroups"], length=L_out)
@@ -795,7 +847,12 @@ class Compiler:
                            piv.rcount - 1)
         else:
             pv = self._force(self.eval(vx.pivots))
-            out = jnp.searchsorted(pv.data, dval.data, side="left")
+            key_hi = int(max(abs(vx.pivots.info.bounds[0]),
+                             abs(vx.pivots.info.bounds[1]),
+                             abs(vx.pdata.info.bounds[0]),
+                             abs(vx.pdata.info.bounds[1]))) + 1
+            out = mergesearch.searchsorted_fast(pv.data, dval.data, "left",
+                                                key_hi=key_hi)
         out = _mask_tail(out.astype(dt), dval.valid, dval.length)
         return Val(data=out, valid=dval.valid, length=dval.length)
 
@@ -812,9 +869,21 @@ class Compiler:
         if not codes:
             out = jnp.zeros((dval.length,), dt)
             return Val(data=out, valid=dval.valid, length=dval.length)
-        carr = jnp.asarray(np.asarray(codes, dtype=np.int64))
-        pos = jnp.searchsorted(carr, dval.data.astype(jnp.int64))
-        found = carr[jnp.clip(pos, 0, len(codes) - 1)] == dval.data
+        if len(codes) <= 128:
+            # dictionaries are small: a fused OR-chain of equality tests is
+            # one vectorized pass (the searchsorted membership probe
+            # serializes ~7ns/element/step on TPU)
+            found = jnp.zeros(dval.data.shape, jnp.bool_)
+            for c in codes:
+                found = found | (dval.data == int(c))
+        else:
+            carr = jnp.asarray(np.asarray(codes, dtype=np.int64))
+            key_hi = int(max(abs(codes[0]), abs(codes[-1]),
+                             abs(vx.ldata.info.bounds[0]),
+                             abs(vx.ldata.info.bounds[1]))) + 1
+            pos = mergesearch.searchsorted_fast(
+                carr, dval.data.astype(jnp.int64), "left", key_hi=key_hi)
+            found = carr[jnp.clip(pos, 0, len(codes) - 1)] == dval.data
         out = _mask_tail(found.astype(dt), dval.valid, dval.length)
         return Val(data=out, valid=dval.valid, length=dval.length)
 

@@ -46,6 +46,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..engine import mergesearch
+
 SENT_R = jnp.int64(2**62)      # invalid right key: sorts after all keys
 SENT_L = jnp.int64(2**62 - 1)  # invalid left key: never equals a right key
 
@@ -122,9 +124,11 @@ def shard_join_count_stats(lkeys, rkeys, *, key_lo, key_hi, n_dev,
         [lkeys, jnp.arange(nl, dtype=jnp.int64)], [sent_l, jnp.int64(nl)])
     rk_own = lax.all_to_all(bk, "d", 0, 0).reshape(-1)
     lk_own = lax.all_to_all(lk_b, "d", 0, 0)
-    rs = jnp.sort(rk_own)
-    lo = jnp.searchsorted(rs, lk_own.reshape(-1))
-    hi = jnp.searchsorted(rs, lk_own.reshape(-1), side="right")
+    # probe via tagged co-sort (mergesearch): XLA searchsorted serializes
+    # ~7ns/element/step on TPU; the merge ranks every probe in two sorts.
+    # Sentinel keys sit at dtype max, so the 2-key (key, tag) comparator
+    # path is used (key_hi=None).
+    lo, hi = mergesearch.merge_lo_hi(rk_own, lk_own.reshape(-1))
     cnt_own = (hi - lo).astype(jnp.int64).reshape(n_dev, cap_l)
     totals_src = jnp.sum(cnt_own, axis=1)  # per source shard, at this owner
     cnt_back = lax.all_to_all(cnt_own, "d", 0, 0)
@@ -177,9 +181,9 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
     order = jnp.argsort(rk_own)
     rs = rk_own[order]
     rp_sorted = [p[order] for p in rp_own]
-    lo = jnp.searchsorted(rs, lk_own.reshape(-1)).reshape(n_dev, cap_l)
-    hi = jnp.searchsorted(rs, lk_own.reshape(-1),
-                          side="right").reshape(n_dev, cap_l)
+    lo, hi = mergesearch.merge_lo_hi(rk_own, lk_own.reshape(-1))
+    lo = lo.reshape(n_dev, cap_l)
+    hi = hi.reshape(n_dev, cap_l)
     cnt_own = (hi - lo).astype(jnp.int64)  # SENT_L probes: cnt 0
 
     # ---- expand pairs per SOURCE shard (each row block returns home)
@@ -187,7 +191,10 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
         cum = jnp.cumsum(cnt_s)
         total = cum[-1]
         k = jnp.arange(cap_pairs, dtype=jnp.int64)
-        j = jnp.searchsorted(cum, k, side="right")
+        if cap_pairs >= mergesearch.MIN_QUERIES:
+            j = mergesearch.merge_searchsorted(cum, k, side="right")
+        else:
+            j = jnp.searchsorted(cum, k, side="right")
         j_c = jnp.clip(j, 0, cap_l - 1)
         base = cum[j_c] - cnt_s[j_c]
         rpos = jnp.clip(lo_s[j_c] + (k - base), 0, m - 1)
