@@ -140,7 +140,7 @@ def _expand_li(cum: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     XLA's serialized binary search; cum <= total <= B so int32 keys are
     always safe below 2^30."""
     B = int(k.shape[0])
-    if B >= mergesearch.MIN_QUERIES and B < 2**30:
+    if mergesearch.use_merge(B) and B < 2**30:
         li = mergesearch.merge_searchsorted(
             cum.astype(jnp.int32), k.astype(jnp.int32), side="right",
             key_hi=B)
@@ -472,7 +472,7 @@ class Compiler:
         lidx = jnp.arange(n, dtype=kdt)
         l_ok = jnp.where(lidx < jnp.asarray(lv.valid, kdt),
                          lv.data.astype(kdt), SENT_L)
-        if n >= mergesearch.MIN_QUERIES:
+        if mergesearch.use_merge(n):
             lo, hi = mergesearch.merge_lo_hi(
                 r_ok, l_ok, key_hi=max(abs(klo), khi + 2) if use32 else None)
         else:

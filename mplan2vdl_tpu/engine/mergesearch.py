@@ -41,6 +41,18 @@ MIN_QUERIES = 4096
 _I32MAX = 2**31 - 1
 
 
+def enabled() -> bool:
+    """MPLAN2VDL_NO_MERGE_SEARCH=1 forces jnp.searchsorted everywhere
+    (debugging / compile-crash bisection)."""
+    import os
+
+    return os.environ.get("MPLAN2VDL_NO_MERGE_SEARCH", "0") in ("", "0")
+
+
+def use_merge(n_queries: int) -> bool:
+    return n_queries >= MIN_QUERIES and enabled()
+
+
 def _pad_len(ln: int) -> int:
     """Next power of two (min 8192), so every merge in a query — and
     across queries — reuses a handful of sort shapes instead of compiling
@@ -149,6 +161,6 @@ def searchsorted_fast(table, queries, side: str = "left",
     """Dispatch: co-sort merge for large query sets, jnp.searchsorted
     for small ones (whose serialized probes are cheaper than two extra
     sort compiles)."""
-    if int(queries.shape[0]) < MIN_QUERIES:
+    if not use_merge(int(queries.shape[0])):
         return jnp.searchsorted(table, queries, side=side)
     return merge_searchsorted(table, queries, side, key_hi=key_hi)

@@ -128,7 +128,13 @@ def shard_join_count_stats(lkeys, rkeys, *, key_lo, key_hi, n_dev,
     # ~7ns/element/step on TPU; the merge ranks every probe in two sorts.
     # Sentinel keys sit at dtype max, so the 2-key (key, tag) comparator
     # path is used (key_hi=None).
-    lo, hi = mergesearch.merge_lo_hi(rk_own, lk_own.reshape(-1))
+    lkf = lk_own.reshape(-1)
+    if mergesearch.use_merge(int(lkf.shape[0])):
+        lo, hi = mergesearch.merge_lo_hi(rk_own, lkf)
+    else:
+        rs = jnp.sort(rk_own)
+        lo = jnp.searchsorted(rs, lkf)
+        hi = jnp.searchsorted(rs, lkf, side="right")
     cnt_own = (hi - lo).astype(jnp.int64).reshape(n_dev, cap_l)
     totals_src = jnp.sum(cnt_own, axis=1)  # per source shard, at this owner
     cnt_back = lax.all_to_all(cnt_own, "d", 0, 0)
@@ -181,7 +187,12 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
     order = jnp.argsort(rk_own)
     rs = rk_own[order]
     rp_sorted = [p[order] for p in rp_own]
-    lo, hi = mergesearch.merge_lo_hi(rk_own, lk_own.reshape(-1))
+    lkf = lk_own.reshape(-1)
+    if mergesearch.use_merge(int(lkf.shape[0])):
+        lo, hi = mergesearch.merge_lo_hi(rk_own, lkf)
+    else:
+        lo = jnp.searchsorted(rs, lkf)
+        hi = jnp.searchsorted(rs, lkf, side="right")
     lo = lo.reshape(n_dev, cap_l)
     hi = hi.reshape(n_dev, cap_l)
     cnt_own = (hi - lo).astype(jnp.int64)  # SENT_L probes: cnt 0
@@ -191,7 +202,7 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
         cum = jnp.cumsum(cnt_s)
         total = cum[-1]
         k = jnp.arange(cap_pairs, dtype=jnp.int64)
-        if cap_pairs >= mergesearch.MIN_QUERIES:
+        if mergesearch.use_merge(cap_pairs):
             j = mergesearch.merge_searchsorted(cum, k, side="right")
         else:
             j = jnp.searchsorted(cum, k, side="right")
