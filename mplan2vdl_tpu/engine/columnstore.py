@@ -42,6 +42,25 @@ class ColumnStore:
         first = concat_name(tab, t.columns[0][0])
         return len(self.columns[first])
 
+    def is_sorted(self, name: Name) -> bool:
+        """True when the stored column is physically non-decreasing —
+        checked once per column per process (one numpy pass) and cached.
+        FK join-index columns of order-major tables (lineitem -> orders)
+        are sorted in practice, which lets the engine route their gathers
+        through the streaming sorted-gather kernel instead of XLA's
+        serialized dynamic gather."""
+        cache = getattr(self, "_sorted_cache", None)
+        if cache is None:
+            cache = self._sorted_cache = {}
+        hit = cache.get(name)
+        if hit is None:
+            arr = self.columns.get(name)
+            hit = bool(arr is not None and len(arr) > 1
+                       and np.all(arr[1:] >= arr[:-1])) or \
+                bool(arr is not None and len(arr) <= 1)
+            cache[name] = hit
+        return hit
+
     def add(self, tab: str, col: str, data: np.ndarray) -> None:
         self.columns[(tab, col)] = _narrow(np.ascontiguousarray(data))
 

@@ -209,6 +209,19 @@ class Compiler:
         self.join_sizes = join_sizes if join_sizes is not None else {}
         self.fsel_sizes = fsel_sizes if fsel_sizes is not None else {}
 
+    def _monotone(self, v: V.Vexp) -> bool:
+        """Positions/values known non-decreasing: the static rules of
+        _monotone_positions plus store-level physical sortedness — FK
+        join-index columns of order-major tables (lineitem's %fk into
+        orders) are sorted in the data, which the catalog can't express
+        but one numpy pass proves (ColumnStore.is_sorted)."""
+        vx = v.vx
+        if isinstance(vx, V.Load):
+            return self.store.is_sorted(vx.name)
+        if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
+            return self._monotone(vx.shsource) and self._monotone(vx.shpos)
+        return _monotone_positions(v)
+
     # ------------------------------------------------------------------ trace
     def trace(self, vexps: List[V.Vexp], tables: Dict[Name, jnp.ndarray]
               ) -> List[Val]:
@@ -275,7 +288,7 @@ class Compiler:
             # runtime cond would fall back to XLA while still blocking
             # XLA's gather fusion — measured -23% on Q19's 0.2%-selective
             # filters), so skip the kernel statically
-            use_sorted = (_monotone_positions(vx.shpos)
+            use_sorted = (self._monotone(vx.shpos)
                           and src.length >= 4096 and pos.length >= 4096
                           and pos.length * W >= src.length * BLOCK)
             use_small = (src.length <= SMALL_TABLE and pos.length >= 4096)
@@ -321,7 +334,7 @@ class Compiler:
             p = jnp.where(idx < limit, pos.data[:n].astype(jnp.int64), L)
             if (n >= 4096 and L < (1 << 30) and _compact_kernel_on()
                     and vx.shpos.quant == V.UNIQUE
-                    and _monotone_positions(vx.shpos)):
+                    and self._monotone(vx.shpos)):
                 # ascending unique positions (FK mask scatters, compaction
                 # composition): the Pallas monotone-scatter kernel streams
                 # writes instead of XLA's ~7ns/element serialized scatter
