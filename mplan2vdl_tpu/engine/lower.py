@@ -133,18 +133,43 @@ def _sel_positions(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(~mask, stable=True)
 
 
+def _take_ascending(src: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
+    """``src[slots]`` for ascending slots: the streaming sorted-gather
+    kernel on TPU when the density gate passes (same 1/8 rule as the
+    engine gather path), XLA gather otherwise."""
+    n_out = int(slots.shape[0])
+    if (_sorted_gather_on() and n_out >= 4096
+            and src.dtype in (jnp.int32, jnp.int64)):
+        from .kernels.sorted_gather import BLOCK, W, sorted_gather
+
+        if n_out * W >= int(src.shape[0]) * BLOCK:
+            return sorted_gather(src, slots.astype(jnp.int32), n_out)
+    return src[slots]
+
+
 def _expand_li(cum: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """``searchsorted(cum, k, 'right')`` for the join-expansion iota
     queries: which left row's output run contains each output slot.
-    Large expansions rank via the tagged co-sort (mergesearch) instead of
-    XLA's serialized binary search; cum <= total <= B so int32 keys are
-    always safe below 2^30."""
+    Large expansions rank via ONE tagged co-sort (mergesearch) instead of
+    XLA's serialized binary search; because the iota queries are already
+    sorted and distinct, their merged order IS query order, so the
+    route-back sort is replaced by a compaction + ascending gather.
+    cum <= total <= B so int32 keys are always safe below 2^30."""
     B = int(k.shape[0])
     if mergesearch.use_merge(B) and B < 2**30:
-        li = mergesearch.merge_searchsorted(
-            cum.astype(jnp.int32), k.astype(jnp.int32), side="right",
-            key_hi=B)
-        return li.astype(jnp.int64)
+        m = int(cum.shape[0])
+        t = cum.astype(jnp.int32) * 2        # side='right': queries after
+        q = k.astype(jnp.int32) * 2 + 1      # equal cum entries
+        (tagged,) = mergesearch._pad_with(
+            [jnp.concatenate([t, q])], [2**31 - 1])
+        total = tagged.shape[0]
+        origin = lax.iota(jnp.int32, total)
+        _, sorg = lax.sort((tagged, origin), num_keys=1)
+        is_q = sorg >= m                     # pads rank last: harmless
+        pos = (lax.iota(jnp.int32, total) + 1
+               - jnp.cumsum(is_q.astype(jnp.int32)))
+        qslots = _sel_positions(is_q)[:B]
+        return _take_ascending(pos, qslots).astype(jnp.int64)
     return jnp.searchsorted(cum, k, side="right")
 
 
@@ -477,18 +502,23 @@ class Compiler:
         ridx = jnp.arange(m, dtype=kdt)
         r_ok = jnp.where(ridx < jnp.asarray(rv.valid, kdt),
                          rv.data.astype(kdt), SENT_R)
-        rs, rs_idx = lax.sort((r_ok, ridx), num_keys=1)
         # probe phase: jnp.searchsorted serializes one ~7ns gather per
         # binary-search step on TPU (~143 ns/probe over a 512K table,
         # tools/probe_sort.py); the tagged co-sort ranks every probe in
-        # two 1.6 ns/element sorts — both sides in ONE merge
+        # two 1.6 ns/element sorts — both sides in ONE merge, and the
+        # table's sort permutation (rs_idx) falls out of the merged order
+        # for free (compaction + ascending gather replaces a third sort)
         lidx = jnp.arange(n, dtype=kdt)
         l_ok = jnp.where(lidx < jnp.asarray(lv.valid, kdt),
                          lv.data.astype(kdt), SENT_L)
         if mergesearch.use_merge(n):
-            lo, hi = mergesearch.merge_lo_hi(
-                r_ok, l_ok, key_hi=max(abs(klo), khi + 2) if use32 else None)
+            lo, hi, sorg = mergesearch.merge_lo_hi(
+                r_ok, l_ok, key_hi=max(abs(klo), khi + 2) if use32 else None,
+                return_merged=True)
+            tslots = _sel_positions(sorg < m)[:m]
+            rs_idx = _take_ascending(sorg, tslots).astype(kdt)
         else:
+            rs, rs_idx = lax.sort((r_ok, ridx), num_keys=1)
             lo = jnp.searchsorted(rs, l_ok, side="left")
             hi = jnp.searchsorted(rs, l_ok, side="right")
         cnt = (hi - lo).astype(jnp.int64)

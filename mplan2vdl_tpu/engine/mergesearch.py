@@ -124,7 +124,8 @@ def merge_searchsorted(table, queries, side: str = "left",
     return rpos[m:m + n]
 
 
-def merge_lo_hi(table, queries, key_hi: int | None = None):
+def merge_lo_hi(table, queries, key_hi: int | None = None,
+                return_merged: bool = False):
     """(searchsorted left, searchsorted right) in ONE tagged co-sort.
 
     Queries enter twice — tag 0 (before equal table keys, yielding the
@@ -132,6 +133,11 @@ def merge_lo_hi(table, queries, key_hi: int | None = None):
     tag 1.  Used by the sort-merge join build (lower.py:_join_artifacts),
     where lo/hi over the same probe keys previously cost two serialized
     binary searches.
+
+    ``return_merged`` additionally returns the merged origin array
+    ``sorg`` (origin < m marks a table entry): table origins extracted
+    from it in merged order ARE the table's sort permutation, letting the
+    caller skip its own table sort.
     """
     m, n = int(table.shape[0]), int(queries.shape[0])
     kdt = jnp.promote_types(table.dtype, queries.dtype)
@@ -153,6 +159,8 @@ def merge_lo_hi(table, queries, key_hi: int | None = None):
         ops, nk = (keys, tags), 2
     pos, sorg = _positions_from_merge(ops, nk, m, idt)
     rpos = _route_back(pos, sorg)
+    if return_merged:
+        return rpos[m:m + n], rpos[m + n:m + 2 * n], sorg
     return rpos[m:m + n], rpos[m + n:m + 2 * n]
 
 
