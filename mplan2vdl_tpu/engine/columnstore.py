@@ -61,8 +61,17 @@ class ColumnStore:
             cache[name] = hit
         return hit
 
+    def _invalidate_sorted(self, name) -> None:
+        """A replaced column must not keep a stale is_sorted() verdict —
+        an unsorted column routed through the sorted-gather/monotone-
+        scatter kernels would yield silent wrong results."""
+        cache = getattr(self, "_sorted_cache", None)
+        if cache is not None:
+            cache.pop(name, None)
+
     def add(self, tab: str, col: str, data: np.ndarray) -> None:
         self.columns[(tab, col)] = _narrow(np.ascontiguousarray(data))
+        self._invalidate_sorted((tab, col))
 
     def add_strings(self, tab: str, col: str, values: "np.ndarray") -> None:
         """Dictionary-encode a string column; codes are assigned in sorted
@@ -71,6 +80,7 @@ class ColumnStore:
         uniq, codes = np.unique(np.asarray(values, dtype=object), return_inverse=True)
         self.columns[(tab, col)] = _narrow(codes.astype(np.int64))
         self.decoders[(tab, col)] = {i: s for i, s in enumerate(uniq.tolist())}
+        self._invalidate_sorted((tab, col))
 
     def add_categorical(self, tab: str, col: str, codes: np.ndarray,
                         decoder: Dict[int, str]) -> None:
@@ -79,6 +89,7 @@ class ColumnStore:
         self.columns[(tab, col)] = _narrow(
             np.ascontiguousarray(codes, dtype=np.int64))
         self.decoders[(tab, col)] = dict(decoder)
+        self._invalidate_sorted((tab, col))
 
     def build_fk_indexes(self) -> None:
         """Materialize the per-FK join-index columns (fact row -> dim row)."""
@@ -102,7 +113,9 @@ class ColumnStore:
                 from . import nativeio
 
                 idx = nativeio.fk_index(fkey, dkey)
-                self.columns[concat_name(t.name, fk.constraint)] = _narrow(idx)
+                name = concat_name(t.name, fk.constraint)
+                self.columns[name] = _narrow(idx)
+                self._invalidate_sorted(name)
 
     def save(self, directory: str) -> None:
         """Persist as raw binary columns + manifest (native IO when built)."""

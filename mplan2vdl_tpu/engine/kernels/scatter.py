@@ -213,6 +213,14 @@ def _scatter_i32(pos32, src32, L: int) -> jnp.ndarray:
     interp = os.environ.get("MPLAN2VDL_PL_INTERPRET", "0") not in ("", "0")
     # pad the tail with out-of-range positions (never match any block)
     OOR = jnp.int32(Lpad + 1)
+    # callers mark dropped/invalid rows with any position >= L; remap them
+    # all to OOR so they never fall inside a live output block — positions
+    # in [L, Lpad) would otherwise land in the last block as a duplicate
+    # cluster and break the strictly-ascending contract (phase-B shift
+    # collisions silently zero valid slots).  The in-range prefix stays
+    # strictly ascending and the >=L suffix collapses to one value, so the
+    # array remains sorted for the searchsorted below.
+    pos32 = jnp.where(pos32 >= jnp.int32(L), OOR, pos32)
     p = jnp.full((npad,), OOR, jnp.int32).at[:n].set(pos32)
     s = jnp.zeros((npad,), jnp.int32).at[:n].set(src32)
     # per-output-block first-writer index -> aligned source window id

@@ -154,22 +154,34 @@ def _expand_li(cum: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     XLA's serialized binary search; because the iota queries are already
     sorted and distinct, their merged order IS query order, so the
     route-back sort is replaced by a compaction + ascending gather.
-    cum <= total <= B so int32 keys are always safe below 2^30."""
+    cum <= total <= B so int32 keys are safe below 2^30 for in-contract
+    calls; a same-shape recall with larger counts could exceed the
+    pre-resolved B, so the value is also guarded dynamically — cum
+    entries >= 2^30 fall back to XLA's searchsorted via lax.cond instead
+    of wrapping in the int32 cast."""
     B = int(k.shape[0])
     if mergesearch.use_merge(B) and B < 2**30:
-        m = int(cum.shape[0])
-        t = cum.astype(jnp.int32) * 2        # side='right': queries after
-        q = k.astype(jnp.int32) * 2 + 1      # equal cum entries
-        (tagged,) = mergesearch._pad_with(
-            [jnp.concatenate([t, q])], [2**31 - 1])
-        total = tagged.shape[0]
-        origin = lax.iota(jnp.int32, total)
-        _, sorg = lax.sort((tagged, origin), num_keys=1)
-        is_q = sorg >= m                     # pads rank last: harmless
-        pos = (lax.iota(jnp.int32, total) + 1
-               - jnp.cumsum(is_q.astype(jnp.int32)))
-        qslots = _sel_positions(is_q)[:B]
-        return _take_ascending(pos, qslots).astype(jnp.int64)
+        def merge_path(cum, k):
+            m = int(cum.shape[0])
+            t = cum.astype(jnp.int32) * 2    # side='right': queries after
+            q = k.astype(jnp.int32) * 2 + 1  # equal cum entries
+            (tagged,) = mergesearch._pad_with(
+                [jnp.concatenate([t, q])], [2**31 - 1])
+            total = tagged.shape[0]
+            origin = lax.iota(jnp.int32, total)
+            _, sorg = lax.sort((tagged, origin), num_keys=1)
+            is_q = sorg >= m                 # pads rank last: harmless
+            pos = (lax.iota(jnp.int32, total) + 1
+                   - jnp.cumsum(is_q.astype(jnp.int32)))
+            qslots = _sel_positions(is_q)[:B]
+            return _take_ascending(pos, qslots).astype(jnp.int64)
+
+        def search_path(cum, k):
+            return jnp.searchsorted(cum, k, side="right").astype(jnp.int64)
+
+        in_range = cum[-1] < jnp.asarray(2**30, cum.dtype) \
+            if cum.shape[0] else jnp.bool_(True)
+        return lax.cond(in_range, merge_path, search_path, cum, k)
     return jnp.searchsorted(cum, k, side="right")
 
 

@@ -98,3 +98,23 @@ def test_q1_fused_agg_path(sf001, monkeypatch):
     monkeypatch.setenv("MPLAN2VDL_FUSED_AGG", "1")
     got_fused, _ = run_both(store, cfg, "01")
     assert got_fused == want == got_default
+
+
+def test_sorted_cache_invalidated_on_column_replace():
+    """ADVICE r2 (low): replacing a column after an is_sorted() probe must
+    not keep the stale verdict (a stale True would route an unsorted
+    column through the sorted-gather/monotone-scatter kernels)."""
+    import numpy as np
+    from mplan2vdl_tpu.fe.schema_parser import parse
+    from mplan2vdl_tpu.engine.columnstore import ColumnStore
+
+    schema = """SET SCHEMA "sys";
+CREATE TABLE "t" ("a" INTEGER NOT NULL,
+CONSTRAINT "t_a_pkey" PRIMARY KEY ("a"));"""
+    store = ColumnStore(tables=parse(schema))
+    store.add("t", "a", np.arange(10, dtype=np.int64))
+    assert store.is_sorted(("t", "a"))
+    store.add("t", "a", np.array([5, 1, 9, 2], np.int64))
+    assert not store.is_sorted(("t", "a"))
+    store.add_strings("t", "a", np.array(["b", "a", "c"], dtype=object))
+    assert not store.is_sorted(("t", "a"))

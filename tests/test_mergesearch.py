@@ -93,3 +93,29 @@ def test_vmap_batched():
     for i in range(4):
         np.testing.assert_array_equal(
             np.searchsorted(t[i], q[i], "right"), got[i])
+
+
+def test_expand_li_dynamic_overflow_guard():
+    """ADVICE r2 (low): _expand_li packs cum into int32*2; cum entries
+    >= 2^30 must route to the searchsorted fallback via lax.cond instead
+    of wrapping."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mplan2vdl_tpu.engine.lower import _expand_li
+
+    B = 8192  # >= MIN_QUERIES so the merge path is considered
+    # in-contract: iota queries (sorted, distinct), small cum -> merge path
+    cum = jnp.asarray(np.arange(1, 101, dtype=np.int64) * 3)
+    k = jnp.arange(B, dtype=jnp.int64)
+    want = np.searchsorted(np.asarray(cum), np.asarray(k), side="right")
+    got = np.asarray(_expand_li(cum, k))
+    np.testing.assert_array_equal(want, got)
+    # out-of-contract huge cum: the int32*2 cast would wrap; the dynamic
+    # guard must fall back to exact searchsorted
+    big = jnp.asarray(np.array([2**29, 2**30 + 5, 2**31 + 7], np.int64))
+    kq = jnp.asarray(np.concatenate(
+        [np.array([0, 2**29, 2**30 + 4, 2**30 + 5, 2**31 + 8], np.int64),
+         2**31 + 9 + np.arange(B - 5, dtype=np.int64)]))
+    want = np.searchsorted(np.asarray(big), np.asarray(kq), side="right")
+    got = np.asarray(_expand_li(big, kq))
+    np.testing.assert_array_equal(want, got)

@@ -84,6 +84,37 @@ def test_invalid_tail_positions_dropped():
     np.testing.assert_array_equal(want, got)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_large_invalid_cluster_at_L(seed):
+    """ADVICE r2 (high): invalid rows clamped to exactly L, with
+    L % 8192 != 0, share the last output block with valid writers; before
+    the >=L remap the duplicate cluster broke the strictly-ascending
+    contract and phase-B collisions zeroed valid slots."""
+    rng = np.random.default_rng(seed)
+    L = int(rng.integers(8192 + 1, 8192 * 4 - 1))
+    n_valid = int(rng.integers(100, 4000))
+    pos_valid = np.sort(rng.choice(L, n_valid, replace=False)).astype(np.int32)
+    n_invalid = int(rng.integers(2, 12000))  # can exceed one block's BLK
+    pos = np.concatenate([pos_valid,
+                          np.full(n_invalid, L, np.int32)]).astype(np.int32)
+    src = rng.integers(1, 2**20, len(pos)).astype(np.int32)
+    got = _run(pos, src, L)
+    np.testing.assert_array_equal(_oracle(pos, src, L), got)
+
+
+def test_valid_positions_past_L_dropped():
+    """Drop semantics: in-contract ascending positions that exceed L are
+    dropped, including ones inside [L, Lpad) which map onto the padded
+    final block."""
+    L = 10000  # Lpad = 16384
+    pos = np.array([5, 9000, 10500, 12000, 16383, 16385], np.int32)
+    src = np.array([1, 2, 3, 4, 5, 6], np.int32)
+    got = _run(pos, src, L)
+    want = np.zeros(L, np.int64)
+    want[[5, 9000]] = [1, 2]
+    np.testing.assert_array_equal(want, got)
+
+
 def test_int64_values_two_planes():
     L = 9000
     rng = np.random.default_rng(3)
