@@ -1,4 +1,5 @@
-"""``python -m mplan2vdl_tpu`` — the CLI driver (see cli.py)."""
+"""``python -m mplan2vdl_tpu`` — the reference binary's invocation shape
+(src-exec/Main.hs:5-6 delegating to MainFuns.mainf)."""
 
 from .cli import main
 

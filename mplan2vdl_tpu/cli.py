@@ -248,7 +248,66 @@ def cmd_run(args):
         print(",".join(str(c[1][i]) for c in cols))
 
 
+# flags that consume the next argv token (for the no-subcommand rewrite)
+_VALUE_FLAGS = {"-b", "--bounds", "-t", "--storage", "-s", "--schema",
+                "--dictionary", "-g", "--grainsize", "--sparsity",
+                "--goffset", "--sf", "--seed", "--devices", "--profile",
+                "--hbm-gbps"}
+_SUBCOMMANDS = ("compile", "genplans", "explain", "run")
+
+
+def _normalize_argv(argv):
+    """Reference UX (MainFuns.hs:34-75,140; SURVEY Appendix A): the binary
+    takes ``[FILE] -b … -t … -s … --dictionary …`` with NO subcommand,
+    defaulting to compile and reading the plan from stdin when FILE is
+    absent.  Rewrite such invocations into the ``compile`` subcommand;
+    explicit subcommands pass through untouched."""
+    if not argv or "-h" in argv or "--help" in argv:
+        return argv
+    positionals = []
+    skip = False
+    for i, tok in enumerate(argv):
+        if skip:
+            skip = False
+            continue
+        if tok in _VALUE_FLAGS:
+            skip = True
+            continue
+        if tok.startswith("--") and "=" in tok:
+            continue
+        if tok.startswith("-") and tok != "-":
+            continue
+        positionals.append(tok)
+    if positionals and positionals[0] in _SUBCOMMANDS:
+        return argv
+    if not positionals:
+        # no FILE: read the plan from stdin (MainFuns.hs:140)
+        return ["compile", "-"] + list(argv)
+    return ["compile"] + list(argv)
+
+
+def _expand_genplans_meta(argv):
+    """Reference ``genplans META DIR`` convenience (genplans:12-33 +
+    tpchrun:2-4): a metadata DIRECTORY as the first genplans operand
+    expands to the four conventional file flags inside it."""
+    if len(argv) >= 3 and argv[0] == "genplans" and \
+            os.path.isdir(argv[1]) and \
+            os.path.isfile(os.path.join(argv[1], "bounds.csv")) and \
+            not any(a in ("-b", "--bounds") for a in argv):
+        meta, rest = argv[1], argv[2:]
+        return ["genplans", *rest,
+                "-b", os.path.join(meta, "bounds.csv"),
+                "-t", os.path.join(meta, "storage.csv"),
+                "-s", os.path.join(meta, "schema.msqldump"),
+                "--dictionary", os.path.join(meta, "dictionary.csv")]
+    return argv
+
+
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    argv = _normalize_argv(list(argv))
+    argv = _expand_genplans_meta(argv)
     ap = argparse.ArgumentParser(prog="mplan2vdl_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

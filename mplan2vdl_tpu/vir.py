@@ -937,9 +937,14 @@ def sc(env: Env, e: M.ScalarExpr) -> Vexp:
         if v.lineage is None:
             raise VirError("substring requires lineage to find the dictionary")
         lcol = v.lineage.col
-        if env.cfg is None or lcol not in env.cfg.col_dictionary:
-            raise VirError(f"no dictionary for column {name_str(lcol)}")
-        dic = env.cfg.col_dictionary[lcol]  # string -> code
+        # A column with no dictionary entries degrades like a literal miss
+        # (mplan._resolve_char_literal's -1 sentinel): the derived map is
+        # empty, every comparison against it is never-true, and compilation
+        # proceeds — the reference stays compilable too because it defers
+        # strings to the backend heap (/root/reference/src/Vdl.hs:244-247).
+        if env.cfg is None:
+            raise VirError(f"no catalog to find dictionary of {name_str(lcol)}")
+        dic = env.cfg.col_dictionary.get(lcol, {})  # string -> code
         lo, n = e.start - 1, e.length
         outs = sorted({st[lo:lo + n] for st in dic})
         newcode = {st: i for i, st in enumerate(outs)}

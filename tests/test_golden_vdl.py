@@ -3,10 +3,11 @@
 Byte-diffs the compiler's VDL output for every tpch10noorder query against
 the committed goldens in tests/golden_vdl/, pins the Q6 statement count to
 the reference README's documented 42 (/root/reference/README.md:37-53),
-and pins the genplans SUCCESS/TOTAL at 21/22 on the committed metadata
-snapshot (Q22's c_phone dictionary codes are absent from the snapshot —
-a data artifact, not a compiler gap; the engine path generates its own
-catalogs and runs Q22).
+and pins the genplans SUCCESS/TOTAL at 22/22 on the committed metadata
+snapshot (r3: a column-level dictionary miss — Q22's absent c_phone
+entries — degrades to a never-match sentinel like a literal miss, the
+way the reference stays compilable by deferring strings to the backend
+heap, Vdl.hs:244-247).
 
 Regenerate goldens intentionally with tools/gen_golden_vdl.py.
 """
@@ -18,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 META = "/root/reference/tests/tpch10noorder"
 GOLD = os.path.join(REPO, "tests", "golden_vdl")
 
-QUERIES = [f"{i:02d}" for i in range(1, 23) if i != 22]
+QUERIES = [f"{i:02d}" for i in range(1, 23)]
 
 
 def _compile(name, extra=()):
@@ -59,8 +60,9 @@ def test_q6_id_arg_format():
 
 
 def test_genplans_success_total():
-    """Pin 21/22 on the committed snapshot (reference harness reported
-    SUCCESS/TOTAL the same way, /root/reference/genplans:24-33)."""
+    """Pin 22/22 on the committed snapshot (reference harness reported
+    SUCCESS/TOTAL the same way, /root/reference/genplans:24-33; the
+    reference itself managed <=17)."""
     ok, fails = 0, []
     for i in range(1, 23):
         name = f"{i:02d}"
@@ -69,8 +71,7 @@ def test_genplans_success_total():
             ok += 1
         except Exception as e:
             fails.append((name, type(e).__name__))
-    assert ok == 21, f"genplans success drift: {ok}/22, failures: {fails}"
-    assert fails == [("22", "VirError")]
+    assert ok == 22, f"genplans success drift: {ok}/22, failures: {fails}"
 
 
 def test_push_joins_variant_compiles():
