@@ -1359,8 +1359,14 @@ def handle_gather_join(cfg: Config, fact_env: Env, dim_env: Env,
                 antigather = complete(Fold(foldop=FSEL, fgroups=pos_(anti),
                                            fdata=anti))
                 return gather_all(factcols, antigather)
-            raise VirError("anti-join keeping the dimension side: TODO")
-        raise VirError(f"join variant {variant} on an FK join: TODO")
+            # no gather specialization (reference raises, Vlite.hs:1232);
+            # _solve_join catches and lowers via the general JoinIndex path
+            raise VirError("anti-join keeping the dimension side: "
+                           "declined, general equijoin handles it")
+        # e.g. LeftOuter (reference: unimplemented, Vlite.hs:1223-1225);
+        # caught by _solve_join -> _solve_equi_join's JOUTER_* lowering
+        raise VirError(f"FK-gather has no {variant} specialization: "
+                       "declined, general equijoin handles it")
 
     assert isinstance(jspec, SelfJoinSpec)
     leftcols, rightcols = fact_env.cols, dim_env.cols
@@ -1374,7 +1380,10 @@ def handle_gather_join(cfg: Config, fact_env: Env, dim_env: Env,
     elif is_identity_range(jspec.leftmask):
         factcols, dimcols, gmask = rightcols, leftcols, jspec.rightmask
     else:
-        raise VirError("self-join where both children are filtered: TODO")
+        # reference requires one unfiltered side (Vlite.hs:1234-1246);
+        # caught by _solve_join and lowered as a general PK equijoin
+        raise VirError("self-join where both children are filtered: "
+                       "declined, general equijoin handles it")
     if variant != M.PLAIN:
         raise VirError(f"non-plain self-join: {variant}")
     return factcols + gather_all(dimcols, gmask)
