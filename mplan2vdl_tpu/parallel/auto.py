@@ -76,7 +76,8 @@ from ..engine.lower import (Compiler, Val, _children, _mask_tail,
 from ..names import Name
 from .shuffle_join import (SENT_L, SENT_R, dest_histogram, key_sents,
                            owner_dest, shard_join_count_stats,
-                           shard_shuffle_join)
+                           shard_shuffle_join, shard_heavy_detect,
+                           _member_lohi)
 
 
 class NotDistributable(Exception):
@@ -813,10 +814,14 @@ class _ShardCompiler(Compiler):
         lk = self._keyed_local(pj["lkeys"], sent_l, kdt=kdt)
         rk = rc._keyed_local(pj["rkeys"], sent_r, kdt=kdt)
         pays = [rc._payload(spec) for spec in pj["pays"]]
+        hv = caps.get("heavy")
         r = shard_shuffle_join(
             lk, rk, pays, key_lo=pj["bounds"][0], key_hi=pj["bounds"][1],
             n_dev=self.n_dev, cap_r=caps["cap_r"], cap_l=caps["cap_l"],
-            cap_pairs=caps["cap_pairs"])
+            cap_pairs=caps["cap_pairs"],
+            heavy_keys=jnp.asarray(hv["hk"]) if hv else None,
+            cap_hb=hv["cap_hb"] if hv else 0,
+            cap_hp=hv["cap_hp"] if hv else 0)
         sel = _sel_positions(r["pair_ok"])[:caps["cap_exp"]]
         npair = jnp.sum(r["pair_ok"].astype(jnp.int64))
         lval = self._force(self.eval(pj["lkeys"]))
@@ -1314,6 +1319,36 @@ class AutoDistributed:
             step_args = step_inputs() + [jnp.asarray([fact_count],
                                                      jnp.int64)]
 
+            # round 0: heavy-hitter detection (skew-aware repartitioning,
+            # BASELINE north star).  Heavy keys leave the exchange — their
+            # build rows broadcast, their probes match locally — so the
+            # exact capacities below stay at uniform-keys size under skew.
+            heavy = None
+            if os.environ.get("MPLAN2VDL_NO_SKEW_DETECT", "0") in ("", "0"):
+                @partial(jax.shard_map, mesh=self.mesh,
+                         in_specs=tuple(in_specs), out_specs=(P(),) * 5,
+                         check_vma=False)
+                def det(*all_in):
+                    c = make_shard_compiler(all_in[:-1], all_in[-1])
+                    rc = c._dim_c(tab_) if tab_ else c
+                    return shard_heavy_detect(
+                        c._keyed_local(lk_v, sent_l_, kdt=kdt),
+                        rc._keyed_local(rk_v, sent_r_, kdt=kdt), n_dev_)
+
+                hk_, rcnt_, nh_, chb_, chp_ = jax.jit(det)(*step_args)
+                if int(nh_) > 0:
+                    heavy = dict(hk=np.asarray(hk_), rcnt=np.asarray(rcnt_),
+                                 cap_hb=max(int(chb_), 1),
+                                 cap_hp=max(int(chp_), 1))
+            hk_c = jnp.asarray(heavy["hk"]) if heavy else None
+            rcnt_c = jnp.asarray(heavy["rcnt"]) if heavy else None
+
+            def mask_heavy(keys, sent):
+                if hk_c is None:
+                    return keys
+                _, hit = _member_lohi(keys, hk_c)
+                return jnp.where(hit, sent, keys)
+
             @partial(jax.shard_map, mesh=self.mesh,
                      in_specs=tuple(in_specs), out_specs=(P(),) * 2,
                      check_vma=False)
@@ -1321,10 +1356,12 @@ class AutoDistributed:
                 c = make_shard_compiler(all_in[:-1], all_in[-1])
                 rc = c._dim_c(tab_) if tab_ else c
                 hl = dest_histogram(owner_dest(
-                    c._keyed_local(lk_v, sent_l_, kdt=kdt),
+                    mask_heavy(c._keyed_local(lk_v, sent_l_, kdt=kdt),
+                               sent_l_),
                     klo, khi, n_dev_), n_dev_)
                 hr = dest_histogram(owner_dest(
-                    rc._keyed_local(rk_v, sent_r_, kdt=kdt),
+                    mask_heavy(rc._keyed_local(rk_v, sent_r_, kdt=kdt),
+                               sent_r_),
                     klo, khi, n_dev_), n_dev_)
                 return (jnp.max(lax.pmax(hl, "d")),
                         jnp.max(lax.pmax(hr, "d")))
@@ -1342,7 +1379,8 @@ class AutoDistributed:
                     c._keyed_local(lk_v, sent_l_, kdt=kdt),
                     rc._keyed_local(rk_v, sent_r_, kdt=kdt),
                     key_lo=klo, key_hi=khi, n_dev=n_dev_,
-                    cap_r=cap_r, cap_l=cap_l)
+                    cap_r=cap_r, cap_l=cap_l,
+                    heavy_keys=hk_c, heavy_rcnt=rcnt_c)
             cap_pairs, cap_exp, cap_un, total, total_un, ovf = (
                 int(x) for x in jax.jit(stats)(*step_args))
             assert ovf == 0, "exact-capacity exchange overflowed"
@@ -1350,6 +1388,7 @@ class AutoDistributed:
                         cap_pairs=max(cap_pairs, 1),
                         cap_exp=max(cap_exp, 1),
                         cap_un=max(cap_un, 1) if pj["outer"] else 0,
+                        heavy=heavy,
                         total=total + (total_un if pj["outer"] else 0))
 
         for key, pj in part_joins.items():  # classifier post-order

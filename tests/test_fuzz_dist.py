@@ -191,3 +191,74 @@ def test_distributed_coverage():
     """The generator must actually exercise the distributed join paths —
     if most seeds fall back single-chip, the fuzz is vacuous."""
     assert _dist_count["ok"] >= N_SEEDS // 2, _dist_count
+
+
+def test_hot_key_join_three_way():
+    """Extreme key skew through the WHOLE distributed pipeline (VERDICT
+    r2 item 5): 50% of l_suppkey rewritten to one hot supplier, then a
+    self-equijoin on it.  The partitioned join must (a) detect the heavy
+    key, (b) keep its exchange capacities at the uniform-keys size — the
+    broadcast path handles the hot key — and (c) stay row-exact against
+    both the numpy oracle and the single-chip engine."""
+    import jax
+
+    from mplan2vdl_tpu import passes, vir
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.engine.lower import CompiledQuery
+    from mplan2vdl_tpu.oracle import relinterp
+    from mplan2vdl_tpu.parallel import auto, dist
+
+    store = datagen.generate(sf=0.002, seed=4)
+    rng = np.random.default_rng(99)
+    sk = np.asarray(store.columns[(LI, "l_suppkey")]).copy()
+    hot = int(sk[0])
+    sk[rng.random(len(sk)) < 0.5] = hot  # one supplier owns half the rows
+    store.add(LI, "l_suppkey", sk)
+    cfg = store.make_catalog()
+    mesh = dist.make_mesh(jax.devices()[:8])
+
+    left_cols = (((LI, "l_suppkey"), None), ((LI, "l_quantity"), None),
+                 ((LI, "l_returnflag"), None))
+    right_cols = (((LI, "l_suppkey"), ("R9", "r_suppkey")),
+                  ((LI, "l_extendedprice"), ("R9", "r_price")))
+    rhs = M.RSelect(
+        child=M.RTable(tablename=(LI,), tablecolumns=right_cols),
+        predicate=M.MBinop(M.LT, M.MRef(name=("R9", "r_price")),
+                           _lit(200000)))
+    rel = M.RJoin(
+        leftch=M.RTable(tablename=(LI,), tablecolumns=left_cols),
+        rightch=rhs,
+        conds=(M.MBinop(M.EQ, M.MRef(name=(LI, "l_suppkey")),
+                        M.MRef(name=("R9", "r_suppkey"))),),
+        joinvariant=M.PLAIN)
+    aggs = ((M.GCount(), ("cnt",)),
+            (M.GFold(M.FSUM, M.MRef(name=("R9", "r_price"))), ("sp",)),
+            (M.GFold(M.FCHOOSE, M.MRef(name=(LI, "l_returnflag"))),
+             ("l_returnflag",)))
+    m = M.RGroupBy(child=rel, inputkeys=(((LI, "l_returnflag"), None),),
+                   outputaggs=aggs)
+
+    oracle = relinterp.run_oracle(store, m)
+    want = sorted(zip(*[np.asarray(a, np.int64).tolist()
+                        for _, a in oracle.cols]))
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+    got = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                       for c in CompiledQuery(cfg, vexps, store)().columns]))
+    assert got == want, "single-chip vs oracle under skew"
+
+    dq = auto.distribute(cfg, store, vexps, mesh)
+    dist_rows = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                             for _, _, c in dq()]))
+    assert dist_rows == want, "distributed vs oracle under skew"
+
+    pjs = list(dq.part_joins.values())
+    assert pjs, "skew test fell back to a replicated join: vacuous"
+    n_rows = len(sk)
+    for pj in pjs:
+        caps = pj["caps"]
+        assert caps["heavy"], "hot key not detected by the heavy round"
+        # bounded growth: exchange caps stay near uniform (the hot key's
+        # ~n/2 probes would otherwise force cap_l >= n/2 at one owner)
+        uniform = 2 * -(-dq.shard_rows // 8) + 64
+        assert caps["cap_l"] <= 2 * uniform, caps
+        assert caps["cap_pairs"] <= 4 * uniform, caps

@@ -36,7 +36,8 @@ def _oracle_pairs(lk, rk):
     return sorted(pairs), cnt
 
 
-def _run_join(mesh, lk, rk, shard_rows_l, shard_rows_r, key_bounds):
+def _run_join(mesh, lk, rk, shard_rows_l, shard_rows_r, key_bounds,
+              heavy=True):
     from mplan2vdl_tpu.parallel.shuffle_join import (SENT_L, SENT_R,
                                                      ShuffleJoin)
 
@@ -44,7 +45,8 @@ def _run_join(mesh, lk, rk, shard_rows_l, shard_rows_r, key_bounds):
     rkeys = _sharded(mesh, rk, shard_rows_r, int(SENT_R))
     rpos = _sharded(mesh, np.arange(len(rk)), shard_rows_r, 0)
     sj = ShuffleJoin(mesh=mesh, shard_rows_l=shard_rows_l,
-                     shard_rows_r=shard_rows_r, key_bounds=key_bounds)
+                     shard_rows_r=shard_rows_r, key_bounds=key_bounds,
+                     heavy=heavy)
     lidx, ok, cnt, (rpos_out,) = sj(lkeys, rkeys, [rpos])
     got_pairs = sorted(
         (int(s * shard_rows_l + lidx[s, k]), int(rpos_out[s, k]))
@@ -81,16 +83,119 @@ def test_semi_anti_outer_counts(mesh8):
 
 
 def test_skewed_keys_force_capacity_retry(mesh8):
-    """Every key identical: one owner receives EVERYTHING — the first
-    capacity guess overflows and the doubling retry path must converge."""
+    """With the heavy path disabled, every key identical means one owner
+    receives EVERYTHING — the first capacity guess overflows and the
+    doubling retry path (the fallback behind detection) must converge."""
     nl = nr = 160
     lk = np.full(nl, 7, np.int64)
     rk = np.full(nr, 7, np.int64)
     srl = srr = nl // N_DEV
-    got_pairs, got_cnt, sj = _run_join(mesh8, lk, rk, srl, srr, (0, 4096))
+    got_pairs, got_cnt, sj = _run_join(mesh8, lk, rk, srl, srr, (0, 4096),
+                                       heavy=False)
     assert sj.cap_scale > 1, "skew should have forced at least one retry"
     assert len(got_pairs) == nl * nr
     np.testing.assert_array_equal(got_cnt, np.full(nl, nr))
+
+
+# ------------------------------------------------- skew-aware heavy path
+# VERDICT r2 item 5 / BASELINE north star "skew-aware repartitioning":
+# heavy-hitter keys must not inflate per-shard buffers (no capacity
+# retries) and must still produce exact pairs/counts.
+
+
+def test_hot_probe_key_no_retry(mesh8):
+    """60% of probes share one key: without detection this overflows the
+    hot owner; with it, those probes match locally against the broadcast
+    build rows — capacities stay at the uniform-keys estimate."""
+    rng = np.random.default_rng(11)
+    nl, nr, hi = 1600, 400, 512
+    lk = rng.integers(0, hi, nl).astype(np.int64)
+    lk[:960] = 7
+    rk = rng.integers(0, hi, nr).astype(np.int64)
+    rk[:3] = 7  # a few matching build rows
+    srl, srr = nl // N_DEV, nr // N_DEV
+    got_pairs, got_cnt, sj = _run_join(mesh8, lk, rk, srl, srr, (0, hi))
+    assert sj._heavy_plan, "hot probe key not detected"
+    assert sj.cap_scale == 1, "heavy path must not need capacity retries"
+    want_pairs, want_cnt = _oracle_pairs(lk, rk)
+    assert got_pairs == want_pairs
+    np.testing.assert_array_equal(got_cnt, want_cnt)
+
+
+def test_hot_build_key_no_retry(mesh8):
+    """Half the BUILD side shares one key (pair explosion at one owner
+    without detection): its rows broadcast, pairs expand where the probes
+    live."""
+    rng = np.random.default_rng(12)
+    nl, nr, hi = 800, 800, 256
+    lk = rng.integers(0, hi, nl).astype(np.int64)
+    rk = rng.integers(0, hi, nr).astype(np.int64)
+    rk[:400] = 9
+    srl = srr = nl // N_DEV
+    got_pairs, got_cnt, sj = _run_join(mesh8, lk, rk, srl, srr, (0, hi))
+    assert sj._heavy_plan, "hot build key not detected"
+    assert sj.cap_scale == 1
+    want_pairs, want_cnt = _oracle_pairs(lk, rk)
+    assert got_pairs == want_pairs
+    np.testing.assert_array_equal(got_cnt, want_cnt)
+
+
+def test_zipf_keys_exact_and_bounded(mesh8):
+    """Zipf(1.5) keys on both sides — several heavy hitters of different
+    weights plus a long tail; exactness and bounded buffers together."""
+    rng = np.random.default_rng(13)
+    nl, nr, hi = 2000, 1000, 100_000
+    lk = np.minimum(rng.zipf(1.5, nl), hi - 1).astype(np.int64)
+    rk = np.minimum(rng.zipf(1.5, nr), hi - 1).astype(np.int64)
+    srl, srr = nl // N_DEV, nr // N_DEV
+    got_pairs, got_cnt, sj = _run_join(mesh8, lk, rk, srl, srr, (0, hi))
+    assert sj._heavy_plan, "zipf head keys not detected"
+    assert sj.cap_scale == 1
+    want_pairs, want_cnt = _oracle_pairs(lk, rk)
+    assert got_pairs == want_pairs
+    np.testing.assert_array_equal(got_cnt, want_cnt)
+
+
+def test_heavy_detect_exact_caps(mesh8):
+    """shard_heavy_detect's cap_hb/cap_hp are exact: cap_hb = max local
+    heavy build rows on any shard, cap_hp = max local heavy pairs."""
+    import jax
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from mplan2vdl_tpu.parallel.shuffle_join import (SENT_L, SENT_R,
+                                                     shard_heavy_detect)
+
+    rng = np.random.default_rng(14)
+    nl = nr = 640
+    srl = srr = nl // N_DEV
+    lk = rng.integers(0, 64, nl).astype(np.int64)
+    rk = rng.integers(0, 64, nr).astype(np.int64)
+    lk[:300] = 5
+    rk[:200] = 5
+    lkeys = _sharded(mesh8, lk, srl, int(SENT_L))
+    rkeys = _sharded(mesh8, rk, srr, int(SENT_R))
+
+    @partial(jax.shard_map, mesh=mesh8, in_specs=(P("d"), P("d")),
+             out_specs=(P(),) * 5, check_vma=False)
+    def det(l, r):
+        return shard_heavy_detect(l.reshape(-1), r.reshape(-1), N_DEV)
+
+    hk, rcnt, n_heavy, cap_hb, cap_hp = det(lkeys, rkeys)
+    hk, rcnt = np.asarray(hk), np.asarray(rcnt)
+    heavy = set(hk[hk < int(SENT_L)].tolist())
+    assert 5 in heavy
+    # exact caps vs a numpy recount over the heavy set
+    lk_sh = lk.reshape(N_DEV, srl)
+    rk_sh = rk.reshape(N_DEV, srr)
+    rglob = {k: int((rk == k).sum()) for k in heavy}
+    want_hb = max(int(np.isin(s, list(heavy)).sum()) for s in rk_sh)
+    want_hp = max(sum(int((s == k).sum()) * rglob[k] for k in heavy)
+                  for s in lk_sh)
+    assert int(cap_hb) == want_hb
+    assert int(cap_hp) == want_hp
+    for k in heavy:
+        i = np.searchsorted(hk, k)
+        assert rcnt[i] == rglob[k]
 
 
 def test_invalid_rows_are_ignored(mesh8):
