@@ -1,16 +1,27 @@
-"""Benchmark driver: TPC-H Q6 on the real TPU, measured against the HBM
-bandwidth roofline.
+"""Benchmark driver: TPC-H Q6/Q1/Q3/Q9 on the real TPU, each measured
+against the HBM-bandwidth roofline (BASELINE.json bench configs).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "queries": {"06": {...}, "01": {...}, ...}}
 
-The reference publishes no in-repo numbers (BASELINE.md), so the
-comparison point is the physically meaningful one: the fraction of the
-chip's HBM-bandwidth roofline the scan-filter-aggregate achieves
-(BASELINE.json north star: >=80%).
+The headline (metric/value/vs_baseline) stays the Q6 scan so rounds are
+comparable; the "queries" map carries one record per benchmarked query:
+ms/run, rows/s, algorithmic GB, and the roofline fraction.
 
-Env knobs: BENCH_SF (default 1.0), BENCH_ITERS (default 20),
-BENCH_QUERY (default 06).
+Two traffic denominators per query (VERDICT r2 items 1-2/weak 8):
+  * speed of light ("roofline", the vs_baseline): every input column
+    read ONCE + every output written once — the time no implementation
+    of the query can beat on this chip.  Join/sort queries honestly
+    show up far from 1.0.
+  * achieved bandwidth ("bw_frac"): the optimized HLO's per-instruction
+    operand+output traffic (engine/hloprof.py) over the measured time —
+    "is the chip saturating HBM moving the bytes the program actually
+    schedules".  The top-traffic instruction is reported as "top_op":
+    which op owns the gap between the two fractions.
+
+Env knobs: BENCH_SF (default 1.0), BENCH_QUERIES (default 06,01,03,09),
+BENCH_REPS (default 5), BENCH_WALL_BUDGET (default 420s).
 """
 
 import json
@@ -29,6 +40,18 @@ import numpy as np
 HBM_BW = {"TPU v5 lite": 819e9, "TPU v5": 2765e9, "TPU v4": 1228e9,
           "TPU v6 lite": 1640e9}
 
+# data-chained on-device iterations per timing call, per query (static so
+# the jitted loop program is byte-identical across warm-up and official
+# runs and the persistent compile cache always hits)
+ITERS = {"06": 1024, "01": 256, "12": 64, "19": 64, "03": 32, "04": 32,
+         "05": 16, "09": 16}
+K1 = 4
+# per-query SF ceiling: Q3's ~6M-row sort shapes reproducibly kill the
+# tunneled compile service at SF1 (HTTP 500 tpu_compile_helper, 2/2
+# attempts r3) — measured at SF0.5 until the sort kernel lands; the
+# supervisor skips doomed larger-SF attempts instead of burning budget
+SF_CAP = {"03": 0.5}
+
 
 def device_bw() -> float:
     kind = jax.devices()[0].device_kind
@@ -38,19 +61,12 @@ def device_bw() -> float:
     return 819e9
 
 
-def main():
-    sf = float(os.environ.get("BENCH_SF", "1.0"))
-    iters = int(os.environ.get("BENCH_ITERS", "2000"))
-    qname = os.environ.get("BENCH_QUERY", "06")
-
+def load_store(sf: float):
     from mplan2vdl_tpu.engine import datagen
-    from mplan2vdl_tpu.engine.lower import compile_plan_text, dtype_for
+    from mplan2vdl_tpu.engine.columnstore import ColumnStore
 
-    t0 = time.time()
     cache = f"/root/.cache/mplan2vdl_store_sf{sf:g}_seed1"
     if os.path.isdir(cache):
-        from mplan2vdl_tpu.engine.columnstore import ColumnStore
-
         store = ColumnStore.load(cache)
     else:
         store = datagen.generate(sf=sf, seed=1)
@@ -58,23 +74,40 @@ def main():
             store.save(cache)
         except Exception:
             pass  # cache is best-effort
-    cfg = store.make_catalog()
-    gen_s = time.time() - t0
+    return store
+
+
+def bench_query(store, cfg, qname: str, sf: float, devcache: dict) -> dict:
+    """Measure one query end-to-end on the device; returns the record."""
+    from mplan2vdl_tpu.engine.hloprof import traffic_report
+    from mplan2vdl_tpu.engine.lower import chunked_device_put, \
+        compile_plan_text
+
+    import jax.numpy as jnp
+    from jax import lax
 
     with open(f"/root/reference/tests/tpch10noorder/{qname}.sql.mplan") as f:
         text = f.read()
     t0 = time.time()
     cq = compile_plan_text(text, cfg, store)
-    args = cq.device_args()  # device-resident columns
+    t_count = time.time() - t0
+    t0 = time.time()
+    # share device-resident columns across the suite's queries
+    cq._args = tuple(
+        devcache[n] if n in devcache
+        else devcache.setdefault(n, chunked_device_put(store.columns[n]))
+        for n in cq.loads)
+    args = cq._args
+    t_xfer = time.time() - t0
+    print(f"# q{qname} counting={t_count:.1f}s transfer={t_xfer:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
 
     # Timing methodology for the tunneled device: block_until_ready does
     # not actually wait, so the completion barrier is fetching the (tiny)
-    # result to the host.  The query runs K data-chained iterations inside
-    # one on-device fori_loop; two K values cancel the host round-trip:
-    # per-iter = (t_long - t_short) / (K2 - K1).
-    import jax.numpy as jnp
-    from jax import lax
-
+    # accumulator to the host.  The query runs K data-chained iterations
+    # inside one on-device fori_loop; two K values cancel the host
+    # round-trip: per-iter = (t_long - t_short) / (K2 - K1).
     def loop(all_args, k):
         def body(i, acc):
             # perturb EVERY input with a runtime zero: without this, XLA
@@ -83,27 +116,42 @@ def main():
             # The perturbation is the accumulator's PARITY (not a sign
             # test): sums of non-negative columns are provably >= 0, so a
             # sign-based zero is hoistable in principle, while parity
-            # changes with every count added
+            # changes with every count added.
             pert = (acc & 1).astype(jnp.int32)
             a = tuple(x + pert.astype(x.dtype) for x in all_args)
             outs = cq._run(a)
-            return (acc + jnp.asarray(outs[0][1], jnp.int64)
-                    + jnp.asarray(outs[0][0][0], jnp.int64))
+            # consume EVERY output so nothing is dead-code-eliminated
+            for data, valid in outs:
+                acc = (acc + jnp.asarray(valid, jnp.int64)
+                       + jnp.asarray(data[0], jnp.int64))
+            return acc
 
         return lax.fori_loop(0, k, body, jnp.int64(0))
 
     jl = jax.jit(loop, static_argnums=1)
-    K1, K2 = 4, 4 + iters
+    K2 = K1 + ITERS.get(qname, 32)
     np.asarray(jl(args, K1))
+    t_k1 = time.time() - t0
     np.asarray(jl(args, K2))
+    t_k2 = time.time() - t0 - t_k1
+    # HLO-charged bytes of ONE query execution + the top-traffic op
+    rep = traffic_report(cq._jitted.lower(args).compile().as_text(), top=1)
+    hlo_bytes = rep["total_bytes"]
+    top_op = rep["top_ops"][0][0] if rep["top_ops"] else "?"
+    # speed of light: inputs once + outputs once
+    outs = cq(args)
+    sol_bytes = (sum(int(np.asarray(a).dtype.itemsize) * len(a)
+                     for a in args)
+                 + sum(c.nbytes for c in outs.columns))
     compile_s = time.time() - t0
+    print(f"# q{qname} k1_warm={t_k1:.1f}s k2_warm={t_k2:.1f}s "
+          f"rest={compile_s-t_k1-t_k2:.1f}s", file=sys.stderr, flush=True)
 
     def measure(k):
-        # the tunneled device adds multi-ms RTT jitter per call; 7-rep
-        # medians keep the K-pair difference stable (3 reps measured the
-        # same program anywhere from 59% to 93% of roofline)
+        # the tunneled device adds multi-ms RTT jitter per call; median of
+        # BENCH_REPS keeps the K-pair difference stable
         reps = []
-        for _ in range(int(os.environ.get("BENCH_REPS", "7"))):
+        for _ in range(int(os.environ.get("BENCH_REPS", "5"))):
             t0 = time.time()
             np.asarray(jl(args, k))
             reps.append(time.time() - t0)
@@ -112,98 +160,152 @@ def main():
     t = max(measure(K2) - measure(K1), 1e-9) / (K2 - K1)
 
     n_rows = store.table_count(("lineitem",))
-    rows_per_s = n_rows / t
-
-    # bytes actually read per row for this query's scanned columns
-    touched = [a for a in args]
-    bytes_scanned = sum(int(np.asarray(a).dtype.itemsize) * len(a)
-                        for a in touched)
-    sol_t = bytes_scanned / device_bw()
-    frac_roofline = sol_t / t
-
-    result = {
-        "metric": f"tpch_q{qname}_sf{sf:g}_rows_per_sec",
-        "value": round(rows_per_s, 1),
-        "unit": "rows/s/chip",
-        "vs_baseline": round(frac_roofline, 4),
+    bw = device_bw()
+    rec = {
+        "q": qname, "sf": sf,
+        "ms": round(t * 1e3, 4),
+        "rows_per_s": round(n_rows / t, 1),
+        "sol_gb": round(sol_bytes / 1e9, 4),
+        "hlo_gb": round(hlo_bytes / 1e9, 4),
+        "roofline": round(sol_bytes / bw / t, 4),
+        "bw_frac": round(hlo_bytes / bw / t, 4),
+        "top_op": top_op,
+        "compile_s": round(compile_s, 1),
     }
-    print(json.dumps(result))
-    print(f"# device={jax.devices()[0].device_kind} rows={n_rows} "
-          f"t={t*1e3:.3f}ms scanned={bytes_scanned/1e6:.1f}MB "
-          f"gen={gen_s:.1f}s compile={compile_s:.1f}s "
-          f"roofline_frac={frac_roofline:.3f}", file=sys.stderr)
+    print(f"# q{qname} sf{sf:g} t={t*1e3:.3f}ms sol={sol_bytes/1e6:.1f}MB "
+          f"hlo={hlo_bytes/1e6:.1f}MB roofline={rec['roofline']:.3f} "
+          f"bw={rec['bw_frac']:.3f} top={top_op} compile={compile_s:.1f}s",
+          file=sys.stderr, flush=True)
+    return rec
 
 
-_LAST_GOOD = "/root/.cache/mplan2vdl_last_bench.json"
+def child():
+    sf = float(os.environ.get("BENCH_SF", "1.0"))
+    queries = os.environ.get("BENCH_QUERIES", "06,01,03,09").split(",")
+
+    t0 = time.time()
+    store = load_store(sf)
+    cfg = store.make_catalog()
+    print(f"# store sf{sf:g} ready in {time.time()-t0:.1f}s "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr,
+          flush=True)
+
+    devcache: dict = {}
+    for q in queries:
+        q = q.strip().zfill(2)
+        try:
+            rec = bench_query(store, cfg, q, sf, devcache)
+            print(json.dumps(rec), flush=True)  # one line per query
+        except Exception as e:  # a failed query must not kill the rest
+            print(f"# q{q} FAILED {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr, flush=True)
+
+
+_LAST_GOOD = "/root/.cache/mplan2vdl_last_bench_r3.json"
 
 
 def supervised():
-    """Budget-aware supervisor (VERDICT r1 item 1a): the whole bench gets a
-    hard wall-clock budget (BENCH_WALL_BUDGET, default 420s) well inside the
-    driver's own timeout, each child attempt is capped at
-    BENCH_ATTEMPT_TIMEOUT (default 150s), and the final action — guaranteed
-    to run inside the budget — prints exactly ONE JSON line: the best fresh
-    measurement, else the last-known-good record, else an explicit zero.
-    BENCH_r0N.json therefore cannot be empty even with the tunnel fully
-    down."""
+    """Budget-aware supervisor: the whole bench gets a hard wall-clock
+    budget (BENCH_WALL_BUDGET, default 420s) well inside the driver's own
+    timeout; children stream one JSON line per finished query, so a
+    timeout still harvests everything measured before it.  Queries left
+    unmeasured at the target SF retry at smaller SFs.  The final action —
+    guaranteed to run inside the budget — prints exactly ONE JSON line
+    consolidating the best record per query (largest SF wins), falling
+    back to the last-known-good file, so BENCH_r0N.json cannot be empty
+    even with the tunnel fully down."""
     import subprocess
 
     budget = float(os.environ.get("BENCH_WALL_BUDGET", "420"))
-    att_cap = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "150"))
     deadline = time.time() + budget
     sf0 = float(os.environ.get("BENCH_SF", "1.0"))
-    # retry the target SF once (stalls are flaky, not size), then shrink
-    schedule = [sf0, sf0, max(sf0 / 2, 0.1), max(sf0 / 4, 0.1), 0.1, 0.1]
-    best = None  # (sf, line) — prefer the largest SF measured this run
+    all_q = [q.strip().zfill(2) for q in
+             os.environ.get("BENCH_QUERIES", "06,01,03,09").split(",")]
+    best: dict = {}  # q -> record (largest SF, then freshest)
 
+    def eff(q, sf):  # a query's effective SF under its compile-wall cap
+        return min(sf, SF_CAP.get(q, sf))
+
+    def missing(sf):
+        return [q for q in all_q
+                if (q not in best
+                    or best[q]["sf"] < eff(q, min(sf, sf0)))
+                and eff(q, sf) == sf]
+
+    # retry the target SF once (tunnel stalls are flaky, not size-driven),
+    # then shrink for whatever is still missing
+    schedule = [sf0, sf0, max(sf0 / 2, 0.1), max(sf0 / 4, 0.1), 0.1]
     for attempt, sf in enumerate(schedule):
+        todo = missing(sf)
+        if not todo:
+            continue  # nothing at THIS sf; smaller-sf queries may remain
         remaining = deadline - time.time()
-        if remaining < 30:
+        if remaining < 45:
             sys.stderr.write("# wall budget exhausted\n")
             break
-        env = dict(os.environ, BENCH_CHILD="1", BENCH_SF=str(sf))
+        env = dict(os.environ, BENCH_CHILD="1", BENCH_SF=str(sf),
+                   BENCH_QUERIES=",".join(todo))
+        # cap each child so one tunnel-stalled query cannot starve the
+        # later (smaller-SF) attempts; children stream per-query results,
+        # so a killed child still contributes everything it finished
+        att_cap = max(150.0, (deadline - time.time()) / 2)
         try:
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
-                                 timeout=min(att_cap, int(remaining) - 15))
-            line = next((ln for ln in out.stdout.splitlines()
-                         if ln.startswith("{")), None)
-            if line:
-                sys.stderr.write(out.stderr[-2000:])
-                if best is None or sf >= best[0]:
-                    best = (sf, line)
-                if sf >= sf0:  # measured at the target SF: done
-                    break
-                continue
-            sys.stderr.write(f"# attempt {attempt}: no result (sf={sf})\n")
-            sys.stderr.write(out.stderr[-1500:])
-        except subprocess.TimeoutExpired:
+                                 timeout=min(att_cap, remaining - 20))
+            sys.stderr.write(out.stderr[-3000:])
+        except subprocess.TimeoutExpired as e:
             sys.stderr.write(f"# attempt {attempt}: timed out (sf={sf})\n")
+            out = e  # harvest partial stdout below
+        stdout = out.stdout or b""
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        for ln in stdout.splitlines():
+            if not ln.startswith("{"):
+                continue
+            try:
+                rec = json.loads(ln)
+            except ValueError:
+                continue
+            q = rec.get("q")
+            if q and (q not in best or rec["sf"] >= best[q]["sf"]):
+                best[q] = rec
 
-    if best is not None:
-        print(best[1])
-        try:
-            with open(_LAST_GOOD, "w") as f:
-                f.write(best[1])
-        except OSError:
-            pass
-        return
-    # total tunnel outage: report the last measured result rather than 0
+    # merge with last-known-good so a partially-failed run keeps history
+    history = {}
     try:
         with open(_LAST_GOOD) as f:
-            line = f.read().strip()
-        sys.stderr.write("# tunnel down for every attempt; "
-                         "reporting last-known-good measurement\n")
-        print(line)
-        return
-    except OSError:
+            history = json.load(f)
+    except (OSError, ValueError):
         pass
-    print(json.dumps({"metric": "tpch_q06_rows_per_sec", "value": 0,
-                      "unit": "rows/s/chip", "vs_baseline": 0}))
+    for q, rec in history.items():
+        if q not in best:
+            best[q] = dict(rec, stale=True)
+    if best:
+        try:
+            with open(_LAST_GOOD, "w") as f:
+                json.dump({q: {k: v for k, v in r.items() if k != "stale"}
+                           for q, r in best.items()}, f)
+        except OSError:
+            pass
+
+    head = best.get("06") or (next(iter(best.values())) if best else None)
+    if head is None:
+        print(json.dumps({"metric": "tpch_q06_rows_per_sec", "value": 0,
+                          "unit": "rows/s/chip", "vs_baseline": 0,
+                          "queries": {}}))
+        return
+    print(json.dumps({
+        "metric": f"tpch_q{head['q']}_sf{head['sf']:g}_rows_per_sec",
+        "value": head["rows_per_s"],
+        "unit": "rows/s/chip",
+        "vs_baseline": head["roofline"],
+        "queries": best,
+    }))
 
 
 if __name__ == "__main__":
     if os.environ.get("BENCH_CHILD") == "1":
-        main()
+        child()
     else:
         supervised()

@@ -1013,7 +1013,8 @@ class CompiledQuery:
     programs resolve each join's exact output size against the live data,
     then the main program is traced with those sizes as static shapes."""
 
-    def __init__(self, cfg: Config, vexps: List[V.Vexp], store: ColumnStore):
+    def __init__(self, cfg: Config, vexps: List[V.Vexp], store: ColumnStore,
+                 preset_sizes: Optional[list] = None):
         self.cfg = cfg
         self.vexps = vexps
         self.store = store
@@ -1021,7 +1022,8 @@ class CompiledQuery:
         self.join_sizes: Dict[tuple, int] = {}
         self.fsel_sizes: Dict[int, int] = {}
         self._args = None
-        self._resolve_dynamic_sizes()
+        if preset_sizes is None or not self._apply_preset(preset_sizes):
+            self._resolve_dynamic_sizes()
         # families of same-(group,mask) dense folds can fuse into one
         # Pallas kernel pass (engine/fuse.py + kernels/multiagg.py).
         # OFF by default: measured on v5e (tools/bench_multiagg.py,
@@ -1041,6 +1043,39 @@ class CompiledQuery:
     # ----------------------------------------------------- two-phase sizing
     def _dynamic_nodes(self):
         return dynamic_nodes(self.vexps)
+
+    def sizes_record(self) -> list:
+        """The resolved dynamic sizes as a position-aligned list over
+        dynamic_nodes() order — a persistable artifact: sizes are match/
+        survivor COUNTS, pure functions of (plan, data), so a cache hit
+        skips the per-(query, dataset) counting pre-passes entirely
+        (their eager op-by-op device dispatch costs minutes through the
+        tunnel)."""
+        rec = []
+        for kind, v in self._dynamic_nodes():
+            if kind == "fsel":
+                rec.append(["fsel", self.fsel_sizes[v.skey]])
+            else:
+                vx = v.vx
+                rec.append(["join", self.join_sizes[(vx.lkeys.skey,
+                                                     vx.rkeys.skey)]])
+        return rec
+
+    def _apply_preset(self, rec: list) -> bool:
+        """Adopt a sizes_record() if its kind sequence matches this DAG's
+        dynamic-node order (an engine change that reshapes the plan makes
+        it mismatch -> falls back to live counting)."""
+        dyn = self._dynamic_nodes()
+        if len(rec) != len(dyn) or any(
+                r[0] != kind for r, (kind, _) in zip(rec, dyn)):
+            return False
+        for r, (kind, v) in zip(rec, dyn):
+            if kind == "fsel":
+                self.fsel_sizes[v.skey] = int(r[1])
+            else:
+                vx = v.vx
+                self.join_sizes[(vx.lkeys.skey, vx.rkeys.skey)] = int(r[1])
+        return True
 
     def _resolve_dynamic_sizes(self):
         """Counting pre-passes: resolve each selection's survivor count and
@@ -1233,9 +1268,54 @@ def plan_to_vexps(text: str, cfg: Config, cleanup: bool = True,
     return vexps
 
 
+def _store_fingerprint(store: ColumnStore) -> str:
+    """Cheap content identity for the sizes cache: per-column shape +
+    sampled values (16 evenly spaced).  Collisions would need two stores
+    with identical samples everywhere — none of our generators can."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in sorted(store.columns):
+        a = store.columns[name]
+        step = max(len(a) // 16, 1)
+        h.update(repr((name, a.dtype.str, len(a),
+                       a[::step][:17].tolist())).encode())
+    return h.hexdigest()[:24]
+
+
 def compile_plan_text(text: str, cfg: Config, store: ColumnStore,
                       cleanup: bool = True,
                       push_joins: bool = False) -> CompiledQuery:
-    """mplan text -> CompiledQuery (the ``compile`` driver, MainFuns.hs:172-188)."""
-    return CompiledQuery(cfg, plan_to_vexps(text, cfg, cleanup, push_joins),
-                         store)
+    """mplan text -> CompiledQuery (the ``compile`` driver,
+    MainFuns.hs:172-188).
+
+    Resolved dynamic sizes persist across processes (keyed by plan text +
+    store fingerprint, ~/.cache/mplan2vdl_tpu/sizes) — the counting
+    pre-passes rerun only for data the process has not seen before."""
+    import hashlib
+    import json as _json
+
+    vexps = plan_to_vexps(text, cfg, cleanup, push_joins)
+    cache_dir = os.environ.get(
+        "MPLAN2VDL_SIZE_CACHE",
+        os.path.expanduser("~/.cache/mplan2vdl_tpu/sizes"))
+    preset, path = None, None
+    if cache_dir and cache_dir != "0":
+        key = hashlib.sha256(
+            repr((text, cleanup, push_joins,
+                  _store_fingerprint(store))).encode()).hexdigest()[:32]
+        path = os.path.join(cache_dir, key + ".json")
+        try:
+            with open(path) as f:
+                preset = _json.load(f)
+        except (OSError, ValueError):
+            preset = None
+    cq = CompiledQuery(cfg, vexps, store, preset_sizes=preset)
+    if path is not None and preset is None:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(path, "w") as f:
+                _json.dump(cq.sizes_record(), f)
+        except OSError:
+            pass  # cache is best-effort
+    return cq
