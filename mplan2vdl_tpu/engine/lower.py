@@ -156,32 +156,29 @@ def _expand_li(cum: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     route-back sort is replaced by a compaction + ascending gather.
     cum <= total <= B so int32 keys are safe below 2^30 for in-contract
     calls; a same-shape recall with larger counts could exceed the
-    pre-resolved B, so the value is also guarded dynamically — cum
-    entries >= 2^30 fall back to XLA's searchsorted via lax.cond instead
-    of wrapping in the int32 cast."""
+    pre-resolved B, so cum is CLAMPED to 2^30-1 before the int32 cast.
+    In-contract values are unchanged (cum <= B < 2^30); out-of-contract
+    ones stay monotone and truncate — the engine's capacity semantics
+    everywhere — instead of int32-wrapping into garbage.  A lax.cond
+    fallback was measured worse than the clamp: the conditional was the
+    top HBM-traffic instruction of Q3/Q9 (it materializes both branch
+    operands and blocks XLA fusion through the join expansion)."""
     B = int(k.shape[0])
     if mergesearch.use_merge(B) and B < 2**30:
-        def merge_path(cum, k):
-            m = int(cum.shape[0])
-            t = cum.astype(jnp.int32) * 2    # side='right': queries after
-            q = k.astype(jnp.int32) * 2 + 1  # equal cum entries
-            (tagged,) = mergesearch._pad_with(
-                [jnp.concatenate([t, q])], [2**31 - 1])
-            total = tagged.shape[0]
-            origin = lax.iota(jnp.int32, total)
-            _, sorg = lax.sort((tagged, origin), num_keys=1)
-            is_q = sorg >= m                 # pads rank last: harmless
-            pos = (lax.iota(jnp.int32, total) + 1
-                   - jnp.cumsum(is_q.astype(jnp.int32)))
-            qslots = _sel_positions(is_q)[:B]
-            return _take_ascending(pos, qslots).astype(jnp.int64)
-
-        def search_path(cum, k):
-            return jnp.searchsorted(cum, k, side="right").astype(jnp.int64)
-
-        in_range = cum[-1] < jnp.asarray(2**30, cum.dtype) \
-            if cum.shape[0] else jnp.bool_(True)
-        return lax.cond(in_range, merge_path, search_path, cum, k)
+        m = int(cum.shape[0])
+        cum32 = jnp.minimum(cum, jnp.asarray(2**30 - 1, cum.dtype))
+        t = cum32.astype(jnp.int32) * 2  # side='right': queries after
+        q = k.astype(jnp.int32) * 2 + 1  # equal cum entries
+        (tagged,) = mergesearch._pad_with(
+            [jnp.concatenate([t, q])], [2**31 - 1])
+        total = tagged.shape[0]
+        origin = lax.iota(jnp.int32, total)
+        _, sorg = lax.sort((tagged, origin), num_keys=1)
+        is_q = sorg >= m                 # pads rank last: harmless
+        pos = (lax.iota(jnp.int32, total) + 1
+               - jnp.cumsum(is_q.astype(jnp.int32)))
+        qslots = _sel_positions(is_q)[:B]
+        return _take_ascending(pos, qslots).astype(jnp.int64)
     return jnp.searchsorted(cum, k, side="right")
 
 

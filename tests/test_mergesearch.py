@@ -96,9 +96,13 @@ def test_vmap_batched():
 
 
 def test_expand_li_dynamic_overflow_guard():
-    """ADVICE r2 (low): _expand_li packs cum into int32*2; cum entries
-    >= 2^30 must route to the searchsorted fallback via lax.cond instead
-    of wrapping."""
+    """ADVICE r2 (low): _expand_li packs cum into int32*2, so cum entries
+    >= 2^30 (out-of-contract: a same-shape recall with more matches than
+    the resolved sizes) must not int32-wrap into garbage ranks.  The fix
+    CLAMPS cum to 2^30-1 before the cast — in-contract queries are the
+    output-slot iota (k < B < 2^30-1), and for those the clamped compare
+    is EXACT even against huge cum entries, with no lax.cond in the hot
+    path (the conditional was Q3/Q9's top HBM-traffic instruction)."""
     import numpy as np
     import jax.numpy as jnp
     from mplan2vdl_tpu.engine.lower import _expand_li
@@ -110,12 +114,10 @@ def test_expand_li_dynamic_overflow_guard():
     want = np.searchsorted(np.asarray(cum), np.asarray(k), side="right")
     got = np.asarray(_expand_li(cum, k))
     np.testing.assert_array_equal(want, got)
-    # out-of-contract huge cum: the int32*2 cast would wrap; the dynamic
-    # guard must fall back to exact searchsorted
-    big = jnp.asarray(np.array([2**29, 2**30 + 5, 2**31 + 7], np.int64))
-    kq = jnp.asarray(np.concatenate(
-        [np.array([0, 2**29, 2**30 + 4, 2**30 + 5, 2**31 + 8], np.int64),
-         2**31 + 9 + np.arange(B - 5, dtype=np.int64)]))
-    want = np.searchsorted(np.asarray(big), np.asarray(kq), side="right")
-    got = np.asarray(_expand_li(big, kq))
+    # out-of-contract huge cum, in-contract iota queries: exact ranks
+    # (every k < 2^30-1 orders identically against the clamped entries)
+    big = jnp.asarray(np.array([7, 2**29, 2**30 + 5, 2**31 + 7,
+                                2**34 + 11], np.int64))
+    want = np.searchsorted(np.asarray(big), np.asarray(k), side="right")
+    got = np.asarray(_expand_li(big, k))
     np.testing.assert_array_equal(want, got)

@@ -1,8 +1,16 @@
 """End-to-end query benchmarks on the real chip (tunnel-safe K-pair
-timing).  Writes one markdown table row per query.
+timing), with the two per-query traffic fractions of bench.py
+(VERDICT r2 item 2: a roofline answer for EVERY query):
 
-Usage: python tools/bench_queries.py [--sf 0.5] [--queries 06,01,03]
-       [--iters 200] [--out BENCH_QUERIES.md]
+  roofline  = speed of light: input columns once + outputs once / time
+  bw_frac   = achieved bandwidth: optimized-HLO per-instruction traffic
+              (engine/hloprof) / time — with the top-traffic op named,
+              so each query says which op owns its gap
+
+Writes one markdown table row per query as it completes (crash-safe).
+
+Usage: python tools/bench_queries.py [--sf 0.25] [--queries all]
+       [--iters 64] [--out BENCH_QUERIES.md]
 """
 
 import argparse
@@ -12,8 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+from mplan2vdl_tpu import jaxcfg  # noqa: F401
 
 import numpy as np
 
@@ -21,22 +28,83 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+ALL = [f"{i:02d}" for i in range(1, 23)]
+# per-query loop lengths: enough on-device work to cancel tunnel RTT
+# without making slow queries take minutes per rep
+ITERS = {"06": 1024, "01": 256, "02": 128, "12": 64, "14": 128, "15": 64,
+         "19": 64, "03": 32, "04": 32, "10": 32, "13": 16, "05": 16,
+         "07": 16, "08": 16, "09": 8, "17": 16, "18": 8, "21": 8, "22": 32}
+
+
+def bench_one(store, cfg, q, iters, devcache):
+    from mplan2vdl_tpu.engine.hloprof import traffic_report
+    from mplan2vdl_tpu.engine.lower import chunked_device_put, \
+        compile_plan_text
+
+    with open(f"/root/reference/tests/tpch10noorder/{q}.sql.mplan") as f:
+        text = f.read()
+    t0 = time.time()
+    cq = compile_plan_text(text, cfg, store)
+    cq._args = tuple(
+        devcache[n] if n in devcache
+        else devcache.setdefault(n, chunked_device_put(store.columns[n]))
+        for n in cq.loads)
+    cargs = cq._args
+
+    def loop(a, k):
+        def it(i, acc):
+            pert = (acc & 1).astype(jnp.int32)
+            ap = tuple(x + pert.astype(x.dtype) for x in a)
+            outs = cq._run(ap)
+            for data, valid in outs:
+                acc = (acc + jnp.asarray(valid, jnp.int64)
+                       + jnp.asarray(data[0], jnp.int64))
+            return acc
+
+        return lax.fori_loop(0, k, it, jnp.int64(0))
+
+    jl = jax.jit(loop, static_argnums=1)
+    K1, K2 = 2, 2 + iters
+    np.asarray(jl(cargs, K1))
+    np.asarray(jl(cargs, K2))
+    rep = traffic_report(cq._jitted.lower(cargs).compile().as_text(), top=1)
+    outs = cq(cargs)
+    sol = (sum(int(np.asarray(a).dtype.itemsize) * len(a) for a in cargs)
+           + sum(c.nbytes for c in outs.columns))
+    compile_s = time.time() - t0
+
+    def m(k):
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            np.asarray(jl(cargs, k))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    t = max(m(K2) - m(K1), 1e-9) / iters
+    top = rep["top_ops"][0][0] if rep["top_ops"] else "?"
+    return dict(q=q, ms=t * 1e3, sol_gb=sol / 1e9,
+                hlo_gb=rep["total_bytes"] / 1e9,
+                roofline=sol / 819e9 / t,
+                bw_frac=rep["total_bytes"] / 819e9 / t,
+                top=top, compile_s=compile_s)
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", type=float, default=0.5)
-    ap.add_argument("--queries", default="06,01,03,09,12")
-    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--sf", type=float, default=0.25)
+    ap.add_argument("--queries", default="all")
+    ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--out", default="BENCH_QUERIES.md")
     args = ap.parse_args()
+    qs = ALL if args.queries == "all" else [
+        s.strip().zfill(2) for s in args.queries.split(",")]
 
     from mplan2vdl_tpu.engine import datagen
-    from mplan2vdl_tpu.engine.lower import compile_plan_text
+    from mplan2vdl_tpu.engine.columnstore import ColumnStore
 
     cache = f"/root/.cache/mplan2vdl_store_sf{args.sf:g}_seed1"
     if os.path.isdir(cache):
-        from mplan2vdl_tpu.engine.columnstore import ColumnStore
-
         store = ColumnStore.load(cache)
     else:
         store = datagen.generate(sf=args.sf, seed=1)
@@ -47,56 +115,22 @@ def main():
     cfg = store.make_catalog()
     n_li = store.table_count(("lineitem",))
 
-    rows = []
-    for q in args.queries.split(","):
-        q = q.strip().zfill(2)
-        with open(f"/root/reference/tests/tpch10noorder/{q}.sql.mplan") as f:
-            text = f.read()
-        t0 = time.time()
-        cq = compile_plan_text(text, cfg, store)
-        cargs = cq.device_args()
-
-        def loop(a, k):
-            def it(i, acc):
-                p = jnp.where(acc < 0, 1, 0)
-                ap = tuple(x + p.astype(x.dtype) for x in a)
-                outs = cq._run(ap)
-                # consume EVERY output so nothing is dead-code-eliminated
-                for data, valid in outs:
-                    acc = (acc + jnp.asarray(valid, jnp.int64)
-                           + jnp.asarray(data[0], jnp.int64))
-                return acc
-
-            return lax.fori_loop(0, k, it, jnp.int64(0))
-
-        jl = jax.jit(loop, static_argnums=1)
+    rows, devcache = [], {}
+    for q in qs:
         try:
-            np.asarray(jl(cargs, 2))
-            np.asarray(jl(cargs, 2 + args.iters))
-            compile_s = time.time() - t0
-
-            def m(k):
-                ts = []
-                for _ in range(3):
-                    t0 = time.time()
-                    np.asarray(jl(cargs, k))
-                    ts.append(time.time() - t0)
-                return sorted(ts)[1]
-
-            t = max(m(2 + args.iters) - m(2), 1e-9) / args.iters
-            nbytes = sum(np.asarray(a).dtype.itemsize * len(a)
-                         for a in cargs)
-            rows.append((q, t * 1e3, n_li / t / 1e9, nbytes / t / 1e9,
-                         compile_s))
-            print(f"Q{q}: {t*1e3:.3f}ms  {n_li/t/1e9:.1f}G rows/s  "
-                  f"{nbytes/t/1e9:.0f}GB/s  (compile {compile_s:.0f}s)",
+            r = bench_one(store, cfg, q, args.iters or ITERS.get(q, 32),
+                          devcache)
+            r["grps"] = n_li / r["ms"] / 1e6
+            rows.append(r)
+            print(f"Q{q}: {r['ms']:.3f}ms {r['grps']:.2f}G rows/s "
+                  f"roofline={r['roofline']:.3f} bw={r['bw_frac']:.3f} "
+                  f"top={r['top']} (compile {r['compile_s']:.0f}s)",
                   flush=True)
         except Exception as e:
-            print(f"Q{q}: FAILED {type(e).__name__}: {str(e)[:100]}",
+            print(f"Q{q}: FAILED {type(e).__name__}: {str(e)[:140]}",
                   flush=True)
+            rows.append(dict(q=q, fail=str(type(e).__name__)))
         _write(args, rows, n_li)
-
-    _write(args, rows, n_li)
 
 
 def _write(args, rows, n_li):
@@ -104,11 +138,27 @@ def _write(args, rows, n_li):
     with open(args.out, "w") as f:
         f.write(f"# End-to-end query benchmarks ({dev}, SF{args.sf:g}, "
                 f"lineitem={n_li:,})\n\n")
-        f.write("| query | ms/run | G lineitem-rows/s | scanned GB/s | "
-                "compile s |\n|---|---|---|---|---|\n")
-        for q, ms, rps, gbs, cs in rows:
-            f.write(f"| Q{q} | {ms:.3f} | {rps:.1f} | {gbs:.0f} | "
-                    f"{cs:.0f} |\n")
+        f.write(
+            "Method: on-device fori_loop K-pair timing (bench.py\n"
+            "methodology).  Two fractions per query: `roofline` = speed\n"
+            "of light (inputs once + outputs once; no implementation of\n"
+            "the query can beat it on this chip) and `bw` = achieved HBM\n"
+            "bandwidth against the optimized HLO's charged traffic\n"
+            "(engine/hloprof; >1 means XLA kept intermediates on-chip).\n"
+            "`top op` = the instruction charging the most traffic — the\n"
+            "op that owns the gap.\n\n")
+        f.write("| query | ms/run | G lineitem-rows/s | sol GB | hlo GB | "
+                "roofline | bw | top op | compile s |\n"
+                "|---|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            if "fail" in r:
+                f.write(f"| Q{r['q']} | FAILED ({r['fail']}) "
+                        + "| — " * 7 + "|\n")
+                continue
+            f.write(f"| Q{r['q']} | {r['ms']:.3f} | {r['grps']:.2f} | "
+                    f"{r['sol_gb']:.3f} | {r['hlo_gb']:.2f} | "
+                    f"{r['roofline']:.3f} | {r['bw_frac']:.3f} | "
+                    f"{r['top']} | {r['compile_s']:.0f} |\n")
     print(f"wrote {args.out}")
 
 

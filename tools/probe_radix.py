@@ -63,30 +63,48 @@ def timeit(fn, args, iters=50, reps=5):
 
 
 def rank_kernel(nbits):
-    """Per-block (BLK,) digit rank: one-hot over 2**nbits buckets,
-    cumsum along the block (the cross-lane movement), rank extraction."""
+    """Per-block (64, 128) digit rank: one-hot over 2**nbits buckets,
+    two-level inclusive scan in row-major block order via MXU
+    lower-triangular matmuls (Pallas TPU has no cumsum lowering; the
+    matmul scan IS the idiomatic TPU form), then rank extraction.  This
+    is the irreducible per-pass data-movement work of an LSD radix
+    pass.  f32 accumulation is exact (counts <= 8192 < 2^24)."""
     R = 1 << nbits
+    ROWS, COLS = 64, 128
 
     def kernel(x_ref, o_ref):
-        x = x_ref[...]  # (1, BLK) int32
+        x = x_ref[...]  # (ROWS, COLS) int32, row-major block order
         d = x & (R - 1)
-        oh = (d == lax.broadcasted_iota(jnp.int32, (R, BLK), 0)
-              ).astype(jnp.int32)
-        cum = jnp.cumsum(oh, axis=1)
-        rank = jnp.sum(oh * cum, axis=0, keepdims=True)
-        o_ref[...] = rank
+        oh = (d[None] == lax.broadcasted_iota(
+            jnp.int32, (R, ROWS, COLS), 0)).astype(jnp.float32)
+        # inclusive scan along lanes: oh @ T, T[j,i] = 1 iff j <= i
+        T = (lax.broadcasted_iota(jnp.int32, (COLS, COLS), 0)
+             <= lax.broadcasted_iota(jnp.int32, (COLS, COLS), 1)
+             ).astype(jnp.float32)
+        c1 = lax.dot_general(oh, T, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        rowtot = c1[:, :, -1]  # (R, ROWS)
+        # exclusive scan over rows: rowtot @ S, S[j,i] = 1 iff j < i
+        S = (lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+             < lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+             ).astype(jnp.float32)
+        rowoff = lax.dot_general(rowtot, S, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rank = jnp.sum(oh * (c1 + rowoff[:, :, None]), axis=0)
+        o_ref[...] = rank.astype(jnp.int32)
 
     def run(x):
         n = x.shape[0]
         y = pl.pallas_call(
             kernel,
             grid=(n // BLK,),
-            in_specs=[pl.BlockSpec((1, BLK), lambda i: (i, 0),
+            in_specs=[pl.BlockSpec((ROWS, COLS), lambda i: (i * ROWS, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, BLK), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((ROWS, COLS), lambda i: (i * ROWS, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n // BLK, BLK), jnp.int32),
-        )(x.reshape(n // BLK, BLK))
+            out_shape=jax.ShapeDtypeStruct((n // BLK * ROWS, COLS),
+                                           jnp.int32),
+        )(x.reshape(n // BLK * ROWS, COLS))
         return jnp.sum(y[:, 0].astype(jnp.int64)) + jnp.asarray(
             y[0, -1], jnp.int64)
 
@@ -119,7 +137,9 @@ def main():
             d = (k & 15).reshape(-1, BLK)
             h = jnp.stack([jnp.sum((d == r).astype(jnp.int32), axis=1)
                            for r in range(16)], axis=1)
-            return jnp.sum(h[:, 0].astype(jnp.int64))
+            # weighted sum so no bucket's count is dead code
+            w = jnp.arange(1, 17, dtype=jnp.int64)
+            return jnp.sum(h.astype(jnp.int64) * w[None, :])
         cases["hist16_xla_per_block"] = (hist16, (keys,))
 
         cases["rank16_pallas(4bit cumsum)"] = (rank_kernel(4), (keys,))

@@ -5,11 +5,13 @@ Runs a query distributed at 1/2/4 processes (8 devices total, split
 evenly) via jax.distributed over localhost — the exact code path a real
 pod runs — and reports rows/s plus efficiency vs the 1-process run.
 
-On this machine the processes share CPU cores, so the ABSOLUTE numbers
-only validate the methodology; on a real multi-host slice the same
-script runs unmodified with JAX_COORDINATOR_ADDRESS et al. set by the
-launcher (each host runs one process and `--procs` becomes the host
-count).
+Each process is PINNED to its own CPU core (taskset), so per-process
+compute capacity is constant across the sweep and rows/s efficiency
+means what it means on a pod (every host brings its own chips).
+Without pinning, N processes share the same cores and throughput can
+only go down.  On a real multi-host slice the same script runs
+unmodified with JAX_COORDINATOR_ADDRESS et al. set by the launcher
+(each host runs one process and `--procs` becomes the host count).
 
 Usage: python tools/scaling_sweep.py [--query 03] [--sf 0.05]
        [--procs 1,2,4] [--reps 3]
@@ -40,8 +42,10 @@ def run_at(nprocs: int, q: str, sf: float, reps: int) -> float:
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     env["MP_SF"] = str(sf)
     env["MP_REPS"] = str(reps)
+    ncores = os.cpu_count() or 1
     procs = [subprocess.Popen(
-        [sys.executable, script, str(pid), str(port), q, str(nprocs),
+        ["taskset", "-c", str(pid % ncores),
+         sys.executable, script, str(pid), str(port), q, str(nprocs),
          "tpch10noorder", "time"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd=REPO) for pid in range(nprocs)]
