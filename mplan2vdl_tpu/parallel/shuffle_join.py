@@ -220,9 +220,7 @@ def _heavy_local_match(lkeys, lheavy, hb_keys, hb_pays, cap_hp):
     rows already live (even by construction)."""
     sent_r, sent_l = key_sents(lkeys.dtype)
     kb = hb_keys.shape[0]
-    order = jnp.argsort(hb_keys)
-    hbs = hb_keys[order]
-    hbp = [p[order] for p in hb_pays]
+    hbs, *hbp = lax.sort((hb_keys, *hb_pays), num_keys=1)
     lkh = jnp.where(lheavy, lkeys, sent_l)
     if mergesearch.use_merge(int(lkh.shape[0])):
         lo, hi = mergesearch.merge_lo_hi(hb_keys, lkh)
@@ -365,11 +363,12 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
         [lkeys, lidx_all], [sent_l, jnp.int64(nl)])
     lk_own = lax.all_to_all(lk_b, "d", 0, 0)  # (n_dev=src, cap_l)
 
-    # ---- owner-side sort-merge (single sort of the owned right range)
+    # ---- owner-side sort-merge (single sort of the owned right range);
+    # payloads ride the sort as extra operands — a multi-operand lax.sort
+    # moves them at sort-network speed instead of argsort + random
+    # gathers (XLA's dynamic gather serializes at ~7 ns/element)
     m = rk_own.shape[0]
-    order = jnp.argsort(rk_own)
-    rs = rk_own[order]
-    rp_sorted = [p[order] for p in rp_own]
+    rs, *rp_sorted = lax.sort((rk_own, *rp_own), num_keys=1)
     lkf = lk_own.reshape(-1)
     if mergesearch.use_merge(int(lkf.shape[0])):
         lo, hi = mergesearch.merge_lo_hi(rk_own, lkf)

@@ -75,36 +75,37 @@ def rank_kernel(nbits):
     def kernel(x_ref, o_ref):
         x = x_ref[...]  # (ROWS, COLS) int32, row-major block order
         d = x & (R - 1)
-        oh = (d[None] == lax.broadcasted_iota(
-            jnp.int32, (R, ROWS, COLS), 0)).astype(jnp.float32)
-        # inclusive scan along lanes: oh @ T, T[j,i] = 1 iff j <= i
+        # inclusive scan along lanes: m @ T, T[j,i] = 1 iff j <= i
         T = (lax.broadcasted_iota(jnp.int32, (COLS, COLS), 0)
              <= lax.broadcasted_iota(jnp.int32, (COLS, COLS), 1)
              ).astype(jnp.float32)
-        c1 = lax.dot_general(oh, T, (((2,), (0,)), ((), ())),
+        # exclusive scan over rows: S2 @ rowtot, S2[i,j] = 1 iff j < i
+        S2 = (lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+              < lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+              ).astype(jnp.float32)
+        rank = jnp.zeros((ROWS, COLS), jnp.float32)
+        for r in range(R):  # static unroll, all 2D (Mosaic-friendly)
+            m_r = (d == r).astype(jnp.float32)
+            c1 = jnp.dot(m_r, T, preferred_element_type=jnp.float32)
+            rowtot = c1[:, COLS - 1:COLS]  # (ROWS, 1)
+            rowoff = jnp.dot(S2, rowtot,
                              preferred_element_type=jnp.float32)
-        rowtot = c1[:, :, -1]  # (R, ROWS)
-        # exclusive scan over rows: rowtot @ S, S[j,i] = 1 iff j < i
-        S = (lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
-             < lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
-             ).astype(jnp.float32)
-        rowoff = lax.dot_general(rowtot, S, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        rank = jnp.sum(oh * (c1 + rowoff[:, :, None]), axis=0)
+            rank = rank + m_r * (c1 + rowoff)
         o_ref[...] = rank.astype(jnp.int32)
 
     def run(x):
         n = x.shape[0]
-        y = pl.pallas_call(
-            kernel,
-            grid=(n // BLK,),
-            in_specs=[pl.BlockSpec((ROWS, COLS), lambda i: (i * ROWS, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((ROWS, COLS), lambda i: (i * ROWS, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n // BLK * ROWS, COLS),
-                                           jnp.int32),
-        )(x.reshape(n // BLK * ROWS, COLS))
+        with jax.enable_x64(False):  # Mosaic requires i32 index tracing
+            y = pl.pallas_call(
+                kernel,
+                grid=(n // BLK,),
+                in_specs=[pl.BlockSpec((ROWS, COLS), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((ROWS, COLS), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((n // BLK * ROWS, COLS),
+                                               jnp.int32),
+            )(x.reshape(n // BLK * ROWS, COLS))
         return jnp.sum(y[:, 0].astype(jnp.int64)) + jnp.asarray(
             y[0, -1], jnp.int64)
 
