@@ -46,10 +46,13 @@ HBM_BW = {"TPU v5 lite": 819e9, "TPU v5": 2765e9, "TPU v4": 1228e9,
 ITERS = {"06": 1024, "01": 256, "12": 64, "19": 64, "03": 32, "04": 32,
          "05": 16, "09": 16}
 K1 = 4
-# per-query SF ceiling: Q3's ~6M-row sort shapes reproducibly kill the
-# tunneled compile service at SF1 (HTTP 500 tpu_compile_helper, 2/2
-# attempts r3) — measured at SF0.5 until the sort kernel lands; the
-# supervisor skips doomed larger-SF attempts instead of burning budget
+# per-query SF ceiling: Q3's fori_loop-wrapped TIMING program
+# reproducibly kills the tunneled compile service at SF1 (HTTP 500
+# tpu_compile_helper, 3/3 attempts r3) — the BARE query program compiles
+# in 42s and runs correctly at SF1 (12,064 rows), and individual 6-12M
+# sort shapes compile fine (tools/bisect_compile.py), so this is a
+# harness-program limit, not an engine one.  Q3's loop record stays at
+# SF0.5; the supervisor skips doomed larger-SF attempts.
 SF_CAP = {"03": 0.5}
 
 
@@ -202,6 +205,7 @@ def child():
 
 
 _LAST_GOOD = "/root/.cache/mplan2vdl_last_bench_r3.json"
+_SF10 = "/root/.cache/mplan2vdl_sf10_bench.json"
 
 
 def supervised():
@@ -289,19 +293,40 @@ def supervised():
         except OSError:
             pass
 
+    # SF10 records keep their own ledger (measured when BENCH_SF=10;
+    # BASELINE's scale anchor) and always ride the consolidated line
+    sf10 = {}
+    try:
+        with open(_SF10) as f:
+            sf10 = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if any(r["sf"] >= 10 and not r.get("stale") for r in best.values()):
+        for q, r in best.items():
+            if r["sf"] >= 10 and not r.get("stale"):
+                sf10[q] = r
+        try:
+            with open(_SF10, "w") as f:
+                json.dump(sf10, f)
+        except OSError:
+            pass
+
     head = best.get("06") or (next(iter(best.values())) if best else None)
     if head is None:
         print(json.dumps({"metric": "tpch_q06_rows_per_sec", "value": 0,
                           "unit": "rows/s/chip", "vs_baseline": 0,
                           "queries": {}}))
         return
-    print(json.dumps({
+    out = {
         "metric": f"tpch_q{head['q']}_sf{head['sf']:g}_rows_per_sec",
         "value": head["rows_per_s"],
         "unit": "rows/s/chip",
         "vs_baseline": head["roofline"],
         "queries": best,
-    }))
+    }
+    if sf10:
+        out["sf10"] = sf10
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1023,15 +1023,22 @@ class CompiledQuery:
             self._resolve_dynamic_sizes()
         # families of same-(group,mask) dense folds can fuse into one
         # Pallas kernel pass (engine/fuse.py + kernels/multiagg.py).
-        # OFF by default: measured on v5e (tools/bench_multiagg.py,
-        # BENCH_OPS.md) the plain XLA path — all masked int64 reduces in
-        # one jitted program — is slightly faster (855us vs 916us at 4M
-        # rows, Q1 end-to-end 0.45ms vs 0.47ms); both are VPU-bound at
-        # the same op count, so the one-pass kernel buys nothing here.
-        # MPLAN2VDL_FUSED_AGG=1 enables it (useful where int64 emulation
-        # is slower than limb arithmetic, or to re-measure on new chips).
+        # Scale-gated default (r3, measured on v5e): at small scale both
+        # paths are VPU-bound and XLA's masked int64 reduces win slightly
+        # (Q1 SF1: 1.51ms XLA vs 1.84ms fused), but at large scale the
+        # XLA path turns MEMORY-bound on its materialized intermediates
+        # (Q1 SF10: 22.5GB charged, 30.6ms at 0.90 of HBM bw) and the
+        # one-pass kernel wins 1.46x (21.0ms).  Auto: fuse when any
+        # input column is >= 24M rows (between the measured 6M loss and
+        # 60M win); MPLAN2VDL_FUSED_AGG=1/0 forces either way.
         self.fold_map, self.families = {}, []
-        if os.environ.get("MPLAN2VDL_FUSED_AGG", "0") not in ("", "0"):
+        fused = os.environ.get("MPLAN2VDL_FUSED_AGG", "")
+        if fused == "" or fused == "auto":
+            use_fused = any(len(store.columns[n]) >= 24_000_000
+                            for n in self.loads)
+        else:
+            use_fused = fused != "0"
+        if use_fused:
             from .fuse import plan_fusions
 
             self.fold_map, self.families = plan_fusions(vexps)

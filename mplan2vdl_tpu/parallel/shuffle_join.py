@@ -61,6 +61,39 @@ def key_sents(dtype):
     return SENT_R, SENT_L
 
 
+def _fused_all_to_all(arrays):
+    """The build keys, build payloads and probe keys are independent
+    subgraphs, so their exchanges CAN combine into one collective per
+    dtype group (MPLAN2VDL_FUSED_EXCHANGE=1).  Measured A/B on the
+    8-device virtual mesh (r3): combining via concatenation is
+    NEUTRAL-TO-SLOWER (Q17 117->128 ms, Q21 99->112 ms median) — the
+    concat + re-slice copies cost more than the saved collective
+    launches, and the per-array form already exposes the independence
+    XLA's latency-hiding scheduler needs to overlap exchanges with the
+    owner sort on real ICI.  Default: one all_to_all per array."""
+    import os
+
+    if os.environ.get("MPLAN2VDL_FUSED_EXCHANGE", "0") in ("", "0"):
+        return [lax.all_to_all(a, "d", 0, 0) for a in arrays]
+    groups: dict = {}
+    for i, a in enumerate(arrays):
+        groups.setdefault(a.dtype, []).append(i)
+    out = [None] * len(arrays)
+    for dt, idxs in groups.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            out[i] = lax.all_to_all(arrays[i], "d", 0, 0)
+            continue
+        widths = [int(arrays[i].shape[1]) for i in idxs]
+        cat = jnp.concatenate([arrays[i] for i in idxs], axis=1)
+        ex = lax.all_to_all(cat, "d", 0, 0)
+        off = 0
+        for i, w in zip(idxs, widths):
+            out[i] = ex[:, off:off + w]
+            off += w
+    return out
+
+
 def _bucket(dest, n_dev, cap, arrays, fills):
     """Scatter rows into (n_dev, cap) per-destination buckets.
 
@@ -348,20 +381,21 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
         # the exchange sees sentinels where the broadcast path took over
         lkeys = jnp.where(lheavy, sent_l, lkeys)
         rkeys = jnp.where(rheavy, sent_r, rkeys)
-    # ---- build exchange: right rows to their key's owner
+    # ---- build + probe exchange, fused: right rows to their key's
+    # owner and left keys (tagged with local row) to the same owners —
+    # independent buckets ride ONE collective per dtype group
+    nl = lkeys.shape[0]
     (bk, *bps), ovr_r = _bucket(
         owner_dest(rkeys, key_lo, key_hi, n_dev), n_dev, cap_r,
         [rkeys] + list(rpayloads), [sent_r] + [0] * len(rpayloads))
-    rk_own = lax.all_to_all(bk, "d", 0, 0).reshape(-1)
-    rp_own = [lax.all_to_all(b, "d", 0, 0).reshape(-1) for b in bps]
-
-    # ---- probe exchange: left keys (tagged with local row) to owners
-    nl = lkeys.shape[0]
     lidx_all = jnp.arange(nl, dtype=jnp.int64)
     (lk_b, lidx_b), ovr_l = _bucket(
         owner_dest(lkeys, key_lo, key_hi, n_dev), n_dev, cap_l,
         [lkeys, lidx_all], [sent_l, jnp.int64(nl)])
-    lk_own = lax.all_to_all(lk_b, "d", 0, 0)  # (n_dev=src, cap_l)
+    bk_x, lk_own, *bps_x = _fused_all_to_all([bk, lk_b] + list(bps))
+    rk_own = bk_x.reshape(-1)
+    rp_own = [b.reshape(-1) for b in bps_x]
+    # lk_own: (n_dev=src, cap_l)
 
     # ---- owner-side sort-merge (single sort of the owned right range);
     # payloads ride the sort as extra operands — a multi-operand lax.sort
@@ -398,11 +432,10 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
     ovr_p = jnp.sum(dropped)
     pay_p = [p[rpos_p] for p in rp_sorted]  # (n_dev, cap_pairs) each
 
-    # ---- route back: counts and pairs land on the probe shard
-    cnt_back = lax.all_to_all(cnt_own, "d", 0, 0)      # (n_dev=owner, cap_l)
-    slot_back = lax.all_to_all(
-        jnp.where(ok_p, slot_p, cap_l), "d", 0, 0)     # invalid -> cap_l
-    pay_back = [lax.all_to_all(p, "d", 0, 0) for p in pay_p]
+    # ---- route back, fused: counts and pairs land on the probe shard
+    cnt_back, slot_back, *pay_back = _fused_all_to_all(
+        [cnt_own, jnp.where(ok_p, slot_p, cap_l)] + list(pay_p))
+    # cnt_back: (n_dev=owner, cap_l); slot_back invalid slots -> cap_l
 
     # per-local-row count: each probe row went to exactly ONE owner, so a
     # scatter-add over bucket slots reassembles it (invalid slots drop)
