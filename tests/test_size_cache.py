@@ -1,0 +1,92 @@
+"""The persistent dynamic-sizes cache (engine/lower.py): resolved join
+match counts and FSel survivor counts are pure functions of
+(plan text, store contents), so a second compile of the same pair must
+adopt the cached record WITHOUT rerunning the counting pre-passes, and
+any change to the data must miss the cache (a wrong size would silently
+truncate join output)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from mplan2vdl_tpu.engine import datagen
+
+    store = datagen.generate(sf=0.005, seed=11)
+    return store, store.make_catalog()
+
+
+Q3 = "/root/reference/tests/tpch10noorder/03.sql.mplan"
+
+
+def canon(cols):
+    return sorted(zip(*[np.asarray(c, np.int64).tolist() for c in cols]))
+
+
+def test_round_trip_skips_counting(setup, tmp_path, monkeypatch):
+    from mplan2vdl_tpu.engine import lower
+
+    store, cfg = setup
+    monkeypatch.setenv("MPLAN2VDL_SIZE_CACHE", str(tmp_path))
+    with open(Q3) as f:
+        text = f.read()
+    cq1 = lower.compile_plan_text(text, cfg, store)
+    want = canon(cq1().columns)
+    assert len(os.listdir(tmp_path)) == 1  # record written
+
+    # a second compile must adopt the record, never count
+    def boom(self):
+        raise AssertionError("counting pre-pass ran despite a cache hit")
+
+    monkeypatch.setattr(lower.CompiledQuery, "_resolve_dynamic_sizes", boom)
+    cq2 = lower.compile_plan_text(text, cfg, store)
+    assert cq2.join_sizes == cq1.join_sizes
+    assert cq2.fsel_sizes == cq1.fsel_sizes
+    assert canon(cq2().columns) == want
+
+
+def test_data_change_misses_cache(setup, tmp_path, monkeypatch):
+    from mplan2vdl_tpu.engine import datagen, lower
+
+    store, cfg = setup
+    monkeypatch.setenv("MPLAN2VDL_SIZE_CACHE", str(tmp_path))
+    with open(Q3) as f:
+        text = f.read()
+    lower.compile_plan_text(text, cfg, store)
+    assert len(os.listdir(tmp_path)) == 1
+
+    # different data (new seed) -> different fingerprint -> second file,
+    # and the recomputed sizes still yield oracle-exact rows
+    store2 = datagen.generate(sf=0.005, seed=12)
+    cfg2 = store2.make_catalog()
+    cq = lower.compile_plan_text(text, cfg2, store2)
+    assert len(os.listdir(tmp_path)) == 2
+
+    from mplan2vdl_tpu.fe import lexer, plan_parser
+    from mplan2vdl_tpu import mplan
+    from mplan2vdl_tpu.oracle import relinterp
+
+    rel = plan_parser.parse(lexer.strip_plan_comments(text))
+    m = mplan.mplan_from_parse_tree(rel, cfg2)
+    oracle = relinterp.run_oracle(store2, m)
+    assert canon(cq().columns) == canon([a for _, a in oracle.cols])
+
+
+def test_mismatched_record_falls_back(setup, tmp_path, monkeypatch):
+    """A preset whose kind sequence no longer matches the DAG (engine
+    evolution) must be ignored, not half-applied."""
+    from mplan2vdl_tpu.engine import lower
+
+    store, cfg = setup
+    with open(Q3) as f:
+        text = f.read()
+    vexps = lower.plan_to_vexps(text, cfg)
+    cq = lower.CompiledQuery(cfg, vexps, store,
+                             preset_sizes=[["fsel", 3]])  # wrong shape
+    # fell back to live counting: sizes resolved, query exact
+    assert cq.join_sizes or cq.fsel_sizes
+    r = cq()
+    assert len(r.columns[0]) > 0
