@@ -381,6 +381,85 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
         # the exchange sees sentinels where the broadcast path took over
         lkeys = jnp.where(lheavy, sent_l, lkeys)
         rkeys = jnp.where(rheavy, sent_r, rkeys)
+    S = _pipeline_stages()
+    if S > 1:
+        # ---- pipelined exchange (opt-in, VERDICT r2 item 10): keys are
+        # split into S hash sub-ranges and each sub-range runs the full
+        # exchange→sort→probe→route-back chain independently.  The S
+        # chains share NO data, so XLA's latency-hiding scheduler is free
+        # to run sub-range 1's all_to_all while sub-range 0's owner sort
+        # is on the VPU — the double-buffer overlap the north star asks
+        # for, expressed as dataflow instead of manual scheduling.  Each
+        # sub-range's buffers are ~1/S of the full caps (margin +64);
+        # sub-range skew is caught by the normal overflow retry.
+        sub_l = _subrange_id(lkeys, n_dev, S)
+        sub_r = _subrange_id(rkeys, n_dev, S)
+        caps = [max(-(-c // S) + 64, 128)
+                for c in (cap_r, cap_l, cap_pairs)]
+        parts = []
+        for s in range(S):
+            lk_s = jnp.where(sub_l == s, lkeys, sent_l)
+            rk_s = jnp.where(sub_r == s, rkeys, sent_r)
+            parts.append(_exchange_match(
+                lk_s, rk_s, rpayloads, key_lo=key_lo, key_hi=key_hi,
+                n_dev=n_dev, cap_r=caps[0], cap_l=caps[1],
+                cap_pairs=caps[2]))
+        lidx_out = jnp.concatenate([p[0] for p in parts])
+        pair_ok = jnp.concatenate([p[1] for p in parts])
+        pays_out = [jnp.concatenate(cols)
+                    for cols in zip(*[p[2] for p in parts])]
+        cnt = sum(p[3] for p in parts)
+        ovr_x = sum(p[4] for p in parts)
+    else:
+        lidx_out, pair_ok, pays_out, cnt, ovr_x = _exchange_match(
+            lkeys, rkeys, rpayloads, key_lo=key_lo, key_hi=key_hi,
+            n_dev=n_dev, cap_r=cap_r, cap_l=cap_l, cap_pairs=cap_pairs)
+    overflow = lax.psum(ovr_x + ovr_h, "d")
+    if heavy is not None:  # broadcast-path pairs appended per shard
+        lidx_out = jnp.concatenate(
+            [lidx_out, jnp.where(heavy["ok"], heavy["lidx"], 0)])
+        pair_ok = jnp.concatenate([pair_ok, heavy["ok"]])
+        pays_out = [jnp.concatenate([p, hp.astype(p.dtype)])
+                    for p, hp in zip(pays_out, heavy["pays"])]
+        cnt = cnt + heavy["cnt"]
+    return dict(lidx=lidx_out, pair_ok=pair_ok, payloads=pays_out,
+                cnt=cnt, overflow=overflow)
+
+
+def _pipeline_stages() -> int:
+    """MPLAN2VDL_PIPELINE_EXCHANGE=S splits the join exchange into S
+    independent hash sub-ranges (0/1 = off, the single fused exchange).
+    Read at trace time."""
+    import os
+
+    try:
+        return max(int(os.environ.get(
+            "MPLAN2VDL_PIPELINE_EXCHANGE", "0")), 1)
+    except ValueError:
+        return 1
+
+
+def _subrange_id(keys, n_dev, S):
+    """Pipeline sub-range of each key, decorrelated from the owner hash
+    (owner_dest uses h % n_dev; this uses a second multiplicative mix),
+    so every (owner, sub-range) cell sees ~1/(n_dev*S) of the keys.
+    Invalid (sentinel) keys map to S — outside every sub-range."""
+    _, sent_l = key_sents(keys.dtype)
+    h = keys.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    h = h ^ (h >> jnp.uint32(16))
+    h2 = (h // jnp.uint32(n_dev)) * jnp.uint32(0x85EBCA6B)
+    h2 = h2 ^ (h2 >> jnp.uint32(13))
+    s = (h2 % jnp.uint32(S)).astype(jnp.int32)
+    return jnp.where(keys < sent_l, s, jnp.int32(S))
+
+
+def _exchange_match(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
+                    cap_r, cap_l, cap_pairs):
+    """One complete exchange→owner-sort-merge→expand→route-back chain
+    over the given key set (sentinel rows ignored).  Returns
+    (lidx (n_dev*cap_pairs,), pair_ok, payload list, per-local-row cnt,
+    local overflow — NOT yet psum'd)."""
+    sent_r, sent_l = key_sents(lkeys.dtype)
     # ---- build + probe exchange, fused: right rows to their key's
     # owner and left keys (tagged with local row) to the same owners —
     # independent buckets ride ONE collective per dtype group
@@ -448,18 +527,9 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
         lidx_pad, jnp.minimum(slot_back, cap_l), axis=1).reshape(-1)
     pair_ok = (slot_back.reshape(-1) < cap_l) & (lidx_pairs < nl)
 
-    overflow = lax.psum(ovr_r + ovr_l + ovr_p + ovr_h, "d")
     lidx_out = jnp.where(pair_ok, lidx_pairs, 0)
     pays_out = [p.reshape(-1) for p in pay_back]
-    if heavy is not None:  # broadcast-path pairs appended per shard
-        lidx_out = jnp.concatenate(
-            [lidx_out, jnp.where(heavy["ok"], heavy["lidx"], 0)])
-        pair_ok = jnp.concatenate([pair_ok, heavy["ok"]])
-        pays_out = [jnp.concatenate([p, hp.astype(p.dtype)])
-                    for p, hp in zip(pays_out, heavy["pays"])]
-        cnt = cnt + heavy["cnt"]
-    return dict(lidx=lidx_out, pair_ok=pair_ok, payloads=pays_out,
-                cnt=cnt, overflow=overflow)
+    return lidx_out, pair_ok, pays_out, cnt, ovr_r + ovr_l + ovr_p
 
 
 @dataclass

@@ -251,3 +251,22 @@ def test_negative_and_offset_key_bounds(mesh8):
     want_pairs, want_cnt = _oracle_pairs(lk, rk)
     assert got_pairs == want_pairs
     np.testing.assert_array_equal(got_cnt, want_cnt)
+
+
+def test_pipelined_subrange_exchange_exact(mesh8, monkeypatch):
+    """MPLAN2VDL_PIPELINE_EXCHANGE=S splits the exchange into S
+    independent hash sub-ranges (overlap of sub-range i's owner sort
+    with sub-range i+1's all_to_all on real ICI).  The result multiset
+    must be identical — including under a heavy-hitter key riding the
+    broadcast path alongside the split exchange."""
+    monkeypatch.setenv("MPLAN2VDL_PIPELINE_EXCHANGE", "3")
+    rng = np.random.default_rng(11)
+    nl, nr, hi = 777, 505, 97
+    lk = rng.integers(0, hi, nl).astype(np.int64)
+    rk = rng.integers(0, hi, nr).astype(np.int64)
+    lk[:200] = 42  # hot probe key: broadcast path engages
+    srl, srr = -(-nl // N_DEV), -(-nr // N_DEV)
+    got_pairs, got_cnt, sj = _run_join(mesh8, lk, rk, srl, srr, (0, hi))
+    want_pairs, want_cnt = _oracle_pairs(lk, rk)
+    assert got_pairs == want_pairs
+    np.testing.assert_array_equal(got_cnt, want_cnt)
