@@ -215,36 +215,63 @@ def small_table_gather(src: jnp.ndarray, pos: jnp.ndarray,
     return src[posm]
 
 
-def sorted_gather(src: jnp.ndarray, pos: jnp.ndarray, valid) -> jnp.ndarray:
-    """``src[pos]`` for monotone ``pos`` (rows past ``valid`` ignored).
-
-    Streams source windows at HBM bandwidth instead of XLA's serialized
-    dynamic gather; falls back to XLA's gather (lax.cond) when a block's
-    span exceeds the window coverage (very sparse, unclustered
-    selections).  Output rows past ``valid`` are unspecified — callers
-    mask, as with every engine gather."""
+def _prep_pos(src_len: int, pos: jnp.ndarray, valid) -> jnp.ndarray:
+    """The kernel's position preprocessing: repeat the last VALID
+    position over the masked tail (keeps monotonicity) and clip into
+    the source range.  Shared by sorted_gather and resolve_fit so the
+    eagerly-resolved verdict sees exactly what the kernel would."""
     m = pos.shape[0]
-    if m == 0 or src.shape[0] == 0:
-        return src[jnp.clip(pos, 0, max(src.shape[0] - 1, 0))]
-    # keep the masked tail monotone: repeat the last VALID position
     idx = jnp.arange(m, dtype=jnp.int64)
     vlast = jnp.clip(jnp.asarray(valid, jnp.int64) - 1, 0, m - 1)
     last = pos[vlast]
     posm = jnp.where(idx < jnp.asarray(valid, jnp.int64), pos, last)
-    posm = jnp.clip(posm, 0, src.shape[0] - 1).astype(jnp.int32)
+    return jnp.clip(posm, 0, src_len - 1).astype(jnp.int32)
+
+
+def resolve_fit(src_len: int, pos: jnp.ndarray, valid) -> bool:
+    """Eager span-fit verdict for concrete positions: True when every
+    1024-block's span fits the kernel's two-window coverage.  The engine
+    resolves this once per (plan, data) alongside the dynamic sizes and
+    bakes the branch statically — the runtime lax.cond materializes both
+    branches' operands and blocks XLA's gather fusion (it was the
+    top-traffic instruction of Q3's compiled program)."""
+    if pos.shape[0] == 0 or src_len == 0:
+        return False
+    return bool(_spans_fit(_prep_pos(src_len, pos, valid)))
+
+
+def sorted_gather(src: jnp.ndarray, pos: jnp.ndarray, valid,
+                  static_fit=None) -> jnp.ndarray:
+    """``src[pos]`` for monotone ``pos`` (rows past ``valid`` ignored).
+
+    Streams source windows at HBM bandwidth instead of XLA's serialized
+    dynamic gather; falls back to XLA's gather when a block's span
+    exceeds the window coverage (very sparse, unclustered selections).
+    ``static_fit`` (from resolve_fit during the engine's size-resolution
+    pass) bakes that choice at trace time; None keeps the runtime
+    lax.cond.  Output rows past ``valid`` are unspecified — callers
+    mask, as with every engine gather."""
+    m = pos.shape[0]
+    if m == 0 or src.shape[0] == 0:
+        return src[jnp.clip(pos, 0, max(src.shape[0] - 1, 0))]
+    posm = _prep_pos(src.shape[0], pos, valid)
 
     def xla_path(s):
         return s[posm]
 
     if src.dtype == jnp.int32:
-        return lax.cond(_spans_fit(posm),
-                        lambda s: _gather_i32(s, posm), xla_path, src)
-    if src.dtype == jnp.int64:
-        def split_path(s):
+        kern_path = lambda s: _gather_i32(s, posm)  # noqa: E731
+    elif src.dtype == jnp.int64:
+        def kern_path(s):
             lo = _gather_i32((s & 0xFFFFFFFF).astype(jnp.uint32)
                              .astype(jnp.int32), posm)
             hi = _gather_i32((s >> 32).astype(jnp.int32), posm)
             return (hi.astype(jnp.int64) << 32) | (
                 lo.astype(jnp.uint32).astype(jnp.int64))
-        return lax.cond(_spans_fit(posm), split_path, xla_path, src)
-    return src[posm]
+    else:
+        return src[posm]
+    if static_fit is True:
+        return kern_path(src)
+    if static_fit is False:
+        return xla_path(src)
+    return lax.cond(_spans_fit(posm), kern_path, xla_path, src)

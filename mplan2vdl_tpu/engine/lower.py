@@ -133,21 +133,41 @@ def _sel_positions(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(~mask, stable=True)
 
 
-def _take_ascending(src: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
+def _take_ascending(src: jnp.ndarray, slots: jnp.ndarray,
+                    static_fit=None) -> jnp.ndarray:
     """``src[slots]`` for ascending slots: the streaming sorted-gather
     kernel on TPU when the density gate passes (same 1/8 rule as the
-    engine gather path), XLA gather otherwise."""
+    engine gather path), XLA gather otherwise.  ``static_fit`` bakes the
+    kernel/XLA choice (resolved eagerly per join site alongside the
+    dynamic sizes) — None keeps the runtime cond."""
     n_out = int(slots.shape[0])
     if (_sorted_gather_on() and n_out >= 4096
             and src.dtype in (jnp.int32, jnp.int64)):
         from .kernels.sorted_gather import BLOCK, W, sorted_gather
 
         if n_out * W >= int(src.shape[0]) * BLOCK:
-            return sorted_gather(src, slots.astype(jnp.int32), n_out)
+            return sorted_gather(src, slots.astype(jnp.int32), n_out,
+                                 static_fit=static_fit)
     return src[slots]
 
 
-def _expand_li(cum: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+def _resolve_take_fit(fits, fitkey, src_len: int, slots) -> object:
+    """Span-fit verdict for an internal _take_ascending site: eager
+    values resolve and record it under ``fitkey``; tracers look it up.
+    Returns True/False/None (None = keep the runtime cond)."""
+    if fits is None:
+        return None
+    if not isinstance(slots, jax.core.Tracer):
+        from .kernels.sorted_gather import resolve_fit
+
+        fit = resolve_fit(src_len, slots, int(slots.shape[0]))
+        fits[fitkey] = fit
+        return fit
+    return fits.get(fitkey)
+
+
+def _expand_li(cum: jnp.ndarray, k: jnp.ndarray, fits=None,
+               fitkey=None) -> jnp.ndarray:
     """``searchsorted(cum, k, 'right')`` for the join-expansion iota
     queries: which left row's output run contains each output slot.
     Large expansions rank via ONE tagged co-sort (mergesearch) instead of
@@ -178,7 +198,8 @@ def _expand_li(cum: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
         pos = (lax.iota(jnp.int32, total) + 1
                - jnp.cumsum(is_q.astype(jnp.int32)))
         qslots = _sel_positions(is_q)[:B]
-        return _take_ascending(pos, qslots).astype(jnp.int64)
+        fit = _resolve_take_fit(fits, fitkey, int(pos.shape[0]), qslots)
+        return _take_ascending(pos, qslots, static_fit=fit).astype(jnp.int64)
     return jnp.searchsorted(cum, k, side="right")
 
 
@@ -234,7 +255,8 @@ class Compiler:
 
     def __init__(self, cfg: Config, store: ColumnStore,
                  join_sizes: Optional[Dict[tuple, int]] = None,
-                 fsel_sizes: Optional[Dict[int, int]] = None):
+                 fsel_sizes: Optional[Dict[int, int]] = None,
+                 span_fits: Optional[Dict[int, bool]] = None):
         self.cfg = cfg
         self.store = store
         # keep the CALLER's dict objects: the size-resolution loop fills
@@ -242,6 +264,13 @@ class Compiler:
         # an initially-empty shared dict)
         self.join_sizes = join_sizes if join_sizes is not None else {}
         self.fsel_sizes = fsel_sizes if fsel_sizes is not None else {}
+        # gather skey -> eagerly-resolved span-fit verdict (True: the
+        # streaming kernel's windows cover every block; False: XLA
+        # gather).  Filled during the eager size-resolution pass; at
+        # trace time a hit replaces the runtime lax.cond with a static
+        # branch (the cond materializes both branches' operands and was
+        # Q3's top-traffic instruction)
+        self.span_fits = span_fits if span_fits is not None else {}
 
     def _monotone(self, v: V.Vexp) -> bool:
         """Positions/values known non-decreasing: the static rules of
@@ -333,11 +362,22 @@ class Compiler:
                 # (~7 ns/element); stream source windows for monotone
                 # positions (compaction applies) or keep small dim tables
                 # VMEM-resident for fk-value gathers (kernels/sorted_gather)
-                from .kernels.sorted_gather import (small_table_gather,
+                from .kernels.sorted_gather import (resolve_fit,
+                                                    small_table_gather,
                                                     sorted_gather)
 
-                kern = sorted_gather if use_sorted else small_table_gather
-                data = kern(src.data, pos.data, pos.valid).astype(dt)
+                if use_sorted:
+                    fit = self.span_fits.get(v.skey)
+                    if not isinstance(pos.data, jax.core.Tracer):
+                        # eager size-resolution pass: resolve the span
+                        # fit now and bake the branch for the main trace
+                        fit = resolve_fit(src.length, pos.data, pos.valid)
+                        self.span_fits[v.skey] = fit
+                    data = sorted_gather(src.data, pos.data, pos.valid,
+                                         static_fit=fit).astype(dt)
+                else:
+                    data = small_table_gather(src.data, pos.data,
+                                              pos.valid).astype(dt)
             else:
                 p = jnp.clip(pos.data, 0, src.length - 1)
                 data = src.data[p].astype(dt)
@@ -525,7 +565,11 @@ class Compiler:
                 r_ok, l_ok, key_hi=max(abs(klo), khi + 2) if use32 else None,
                 return_merged=True)
             tslots = _sel_positions(sorg < m)[:m]
-            rs_idx = _take_ascending(sorg, tslots).astype(kdt)
+            fit = _resolve_take_fit(self.span_fits,
+                                    ("j_rsidx", lkeys.skey, rkeys.skey),
+                                    int(sorg.shape[0]), tslots)
+            rs_idx = _take_ascending(sorg, tslots,
+                                     static_fit=fit).astype(kdt)
         else:
             rs, rs_idx = lax.sort((r_ok, ridx), num_keys=1)
             lo = jnp.searchsorted(rs, l_ok, side="left")
@@ -560,7 +604,8 @@ class Compiler:
         outer = side in (V.JOUTER_LEFT, V.JOUTER_RIGHT, V.JOUTER_VALID)
         k = jnp.arange(B, dtype=jnp.int64)
         if not outer:
-            li = _expand_li(art["cum"], k)
+            li = _expand_li(art["cum"], k, self.span_fits,
+                            ("j_exp", vx.lkeys.skey, vx.rkeys.skey))
             li_c = jnp.clip(li, 0, n - 1)
             base = art["cum"][li_c] - art["cnt"][li_c]
             rpos = art["lo"][li_c] + (k - base)
@@ -579,7 +624,8 @@ class Compiler:
         n_un = jnp.sum(unmatched.astype(jnp.int64))
         total_outer = total + n_un
         un_sel = _sel_positions(unmatched)[:n]
-        li = _expand_li(art["cum"], k)
+        li = _expand_li(art["cum"], k, self.span_fits,
+                        ("j_exp", vx.lkeys.skey, vx.rkeys.skey))
         li_c = jnp.clip(li, 0, n - 1)
         base = art["cum"][li_c] - art["cnt"][li_c]
         rpos = art["lo"][li_c] + (k - base)
@@ -1002,6 +1048,52 @@ def dynamic_nodes(roots: List[V.Vexp]):
     return out
 
 
+def gather_nodes(roots: List[V.Vexp]):
+    """Shuffle-GATHER nodes under ``roots`` in dependency post-order —
+    deterministic for a given plan across processes (skeys are not), so
+    span-fit verdicts persist position-aligned over this walk, exactly
+    like sizes_record over dynamic_nodes()."""
+    seen, out = set(), []
+
+    def go(v: V.Vexp):
+        if v.skey in seen:
+            return
+        seen.add(v.skey)
+        for c in _children(v.vx):
+            go(c)
+        if isinstance(v.vx, V.Shuffle) and v.vx.shop == V.GATHER:
+            out.append(v)
+
+    for v in roots:
+        go(v)
+    return out
+
+
+def join_key_pairs(roots: List[V.Vexp]):
+    """(lkeys, rkeys) Vexp pairs of every JoinIndex under ``roots``,
+    first occurrence in dependency post-order — deterministic like
+    gather_nodes.  Includes SEMI/ANTI joins: their sort-merge artifacts
+    carry internal streaming-gather sites whose span-fit verdicts
+    persist aligned over this walk."""
+    seen, seenp, out = set(), set(), []
+
+    def go(v: V.Vexp):
+        if v.skey in seen:
+            return
+        seen.add(v.skey)
+        for c in _children(v.vx):
+            go(c)
+        if isinstance(v.vx, V.JoinIndex):
+            kp = (v.vx.lkeys.skey, v.vx.rkeys.skey)
+            if kp not in seenp:
+                seenp.add(kp)
+                out.append((v.vx.lkeys, v.vx.rkeys))
+
+    for v in roots:
+        go(v)
+    return out
+
+
 class CompiledQuery:
     """One query compiled against one store: a single jitted XLA program.
 
@@ -1018,6 +1110,7 @@ class CompiledQuery:
         self.loads = sorted({vx.name for vx in _all_loads(vexps)})
         self.join_sizes: Dict[tuple, int] = {}
         self.fsel_sizes: Dict[int, int] = {}
+        self.span_fits: Dict[int, bool] = {}
         self._args = None
         if preset_sizes is None or not self._apply_preset(preset_sizes):
             self._resolve_dynamic_sizes()
@@ -1063,16 +1156,58 @@ class CompiledQuery:
                 vx = v.vx
                 rec.append(["join", self.join_sizes[(vx.lkeys.skey,
                                                      vx.rkeys.skey)]])
+        gs = gather_nodes(self.vexps)
+        if gs:
+            # span-fit verdicts ride the same record (same contract:
+            # pure functions of (plan, data)); position-aligned over the
+            # gather_nodes walk, None where unresolved
+            rec.append(["spanfit",
+                        [(1 if self.span_fits[g.skey] else 0)
+                         if g.skey in self.span_fits else None
+                         for g in gs]])
+        jps = join_key_pairs(self.vexps)
+        if jps:
+            def enc(key):
+                f = self.span_fits.get(key)
+                return None if f is None else (1 if f else 0)
+
+            # join-internal sites (merged-order rs_idx gather + pair
+            # expansion), aligned over the join_key_pairs walk
+            rec.append(["jfit",
+                        [[enc(("j_rsidx", l.skey, r.skey)),
+                          enc(("j_exp", l.skey, r.skey))]
+                         for l, r in jps]])
         return rec
 
     def _apply_preset(self, rec: list) -> bool:
         """Adopt a sizes_record() if its kind sequence matches this DAG's
         dynamic-node order (an engine change that reshapes the plan makes
         it mismatch -> falls back to live counting)."""
+        spans, jfits = None, None
+        while rec and rec[-1][0] in ("spanfit", "jfit"):
+            if rec[-1][0] == "spanfit":
+                spans = rec[-1][1]
+            else:
+                jfits = rec[-1][1]
+            rec = rec[:-1]
         dyn = self._dynamic_nodes()
         if len(rec) != len(dyn) or any(
                 r[0] != kind for r, (kind, _) in zip(rec, dyn)):
             return False
+        if spans is not None:
+            gs = gather_nodes(self.vexps)
+            if len(spans) == len(gs):  # else: stale record — cond fallback
+                for s, g in zip(spans, gs):
+                    if s is not None:
+                        self.span_fits[g.skey] = bool(s)
+        if jfits is not None:
+            jps = join_key_pairs(self.vexps)
+            if len(jfits) == len(jps):
+                for (fr, fe), (l, r) in zip(jfits, jps):
+                    if fr is not None:
+                        self.span_fits[("j_rsidx", l.skey, r.skey)] = bool(fr)
+                    if fe is not None:
+                        self.span_fits[("j_exp", l.skey, r.skey)] = bool(fe)
         for r, (kind, v) in zip(rec, dyn):
             if kind == "fsel":
                 self.fsel_sizes[v.skey] = int(r[1])
@@ -1087,7 +1222,8 @@ class CompiledQuery:
         compiles with real cardinalities instead of static bounds
         (SURVEY.md §7.3 risk 1 — two-phase execution with exact shapes)."""
         dyn = self._dynamic_nodes()
-        if not dyn:
+        gs = gather_nodes(self.vexps) if _sorted_gather_on() else []
+        if not dyn and not gs:
             return
         args = self.device_args()
         # the counting programs run eagerly (op-by-op): they execute once per
@@ -1095,7 +1231,7 @@ class CompiledQuery:
         # fused-program stall observed under the test harness
         with jax.disable_jit():
             c = Compiler(self.cfg, self.store, self.join_sizes,
-                         self.fsel_sizes)
+                         self.fsel_sizes, self.span_fits)
             c.memo, c.group_cache, c.join_cache = {}, {}, {}
             c.tables = dict(zip(self.loads, args))
             for kind, v in dyn:
@@ -1120,10 +1256,20 @@ class CompiledQuery:
                             ((art["cnt"] == 0) & lmask).astype(jnp.int64))
                     self.join_sizes[(vx.lkeys.skey, vx.rkeys.skey)] = \
                         max(int(total), 1)
+            # evaluate every gather site once (largely memo-shared with
+            # the counting work above) so the streaming-kernel span-fit
+            # verdicts are resolved and baked — removing the runtime
+            # lax.cond from the main program
+            for g in gs:
+                try:
+                    c.eval(g)
+                except Exception:
+                    pass  # the main trace will surface any real error
 
     def _run(self, table_arrays: Tuple[jnp.ndarray, ...]):
         tables = dict(zip(self.loads, table_arrays))
-        c = Compiler(self.cfg, self.store, self.join_sizes, self.fsel_sizes)
+        c = Compiler(self.cfg, self.store, self.join_sizes, self.fsel_sizes,
+                     self.span_fits)
         c.fold_map, c.families = self.fold_map, self.families
         vals = c.trace(self.vexps, tables)
         return tuple((v.data, jnp.asarray(v.valid, jnp.int64)) for v in vals)
@@ -1305,8 +1451,11 @@ def compile_plan_text(text: str, cfg: Config, store: ColumnStore,
         os.path.expanduser("~/.cache/mplan2vdl_tpu/sizes"))
     preset, path = None, None
     if cache_dir and cache_dir != "0":
+        # "v2": span-fit verdicts joined the record — old-format entries
+        # must miss so fits get resolved instead of silently staying
+        # on the runtime-cond path forever
         key = hashlib.sha256(
-            repr((text, cleanup, push_joins,
+            repr(("v2", text, cleanup, push_joins,
                   _store_fingerprint(store))).encode()).hexdigest()[:32]
         path = os.path.join(cache_dir, key + ".json")
         try:

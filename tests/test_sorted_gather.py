@@ -184,3 +184,79 @@ def test_monotone_predicate():
         go(v)
     assert direct and all(direct), direct
     assert any(mono), mono
+
+
+def test_static_fit_paths_match_cond(monkeypatch):
+    """sorted_gather(static_fit=True/False/None) agree elementwise —
+    the baked branch must be exactly what the runtime cond would pick."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    monkeypatch.setenv("MPLAN2VDL_PL_INTERPRET", "1")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mplan2vdl_tpu.engine.kernels.sorted_gather import (resolve_fit,
+                                                            sorted_gather)
+
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.integers(0, 1 << 20, 20_000), jnp.int32)
+    pos = jnp.asarray(np.sort(rng.integers(0, 20_000, 8192)), jnp.int32)
+    valid = 8000
+    want = np.asarray(src)[np.asarray(pos)][:valid]
+    fit = resolve_fit(int(src.shape[0]), pos, valid)
+    assert isinstance(fit, bool)
+    got_static = np.asarray(sorted_gather(src, pos, valid,
+                                          static_fit=fit))[:valid]
+    got_cond = np.asarray(sorted_gather(src, pos, valid))[:valid]
+    np.testing.assert_array_equal(got_static, want)
+    np.testing.assert_array_equal(got_cond, want)
+    # the False branch is plain XLA gather — also exact
+    got_xla = np.asarray(sorted_gather(src, pos, valid,
+                                       static_fit=False))[:valid]
+    np.testing.assert_array_equal(got_xla, want)
+
+
+def test_span_fit_resolved_and_persisted(monkeypatch):
+    """The size-resolution pass resolves every streaming-gather site's
+    span fit, the verdicts ride sizes_record() across processes, and a
+    preset-built query compiles with NO HLO conditional (the runtime
+    cond was Q3's top-traffic instruction)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import mplan2vdl_tpu.engine.lower as L
+    from mplan2vdl_tpu.engine import datagen
+
+    monkeypatch.setenv("MPLAN2VDL_PL_INTERPRET", "1")
+    monkeypatch.setenv("MPLAN2VDL_SIZE_CACHE", "0")
+    monkeypatch.setattr(L, "_sorted_gather_on", lambda: True)
+    # Q3's half-selective date filters keep compactions above the
+    # kernel's 4096-row gate, so its column gathers are streaming sites
+    store = datagen.generate(sf=0.02, seed=7)
+    cfg = store.make_catalog()
+    with open("/root/reference/tests/tpch10noorder/03.sql.mplan") as f:
+        text = f.read()
+    cq = L.compile_plan_text(text, cfg, store)
+    assert cq.span_fits, "no span-fit verdict resolved on Q3"
+    rec = cq.sizes_record()
+    kinds = {e[0] for e in rec}
+    assert "spanfit" in kinds
+    got = cq()
+
+    cq2 = L.CompiledQuery(cfg, L.plan_to_vexps(text, cfg, True, False),
+                          store, preset_sizes=rec)
+    assert cq2.span_fits == cq.span_fits
+    got2 = cq2()
+    for a, b in zip(got.columns, got2.columns):
+        np.testing.assert_array_equal(a, b)
+    hlo = cq2._jitted.lower(cq2.device_args()).compile().as_text()
+    # the gather's runtime cond lowers as a TOP-LEVEL conditional
+    # (op_name ".../cond"); interpret-mode Pallas emulation adds nested
+    # while/body/cond internals that do not exist on real TPU compiles
+    import re
+    tops = [n for n in re.findall(r'conditional[^\n]*op_name="([^"]*)"',
+                                  hlo) if n.endswith("jit(_run)/cond")]
+    assert not tops, f"runtime cond survived the baking: {tops}"
