@@ -122,7 +122,8 @@ def _sel_positions(mask: jnp.ndarray) -> jnp.ndarray:
     the mask bit and row index into ONE int32 sort key so the sort moves
     4 bytes/row instead of argsort's (bool, int64) 9."""
     n = mask.shape[0]
-    if n >= 4096 and n < (1 << 30) and _compact_kernel_on():
+    if (n >= 4096 and n < (1 << 30) and _compact_kernel_on()
+            and isinstance(mask, jax.core.Tracer)):  # kernels trace-only
         from .kernels.compact import compact_positions
 
         return compact_positions(mask)
@@ -141,7 +142,11 @@ def _take_ascending(src: jnp.ndarray, slots: jnp.ndarray,
     kernel/XLA choice (resolved eagerly per join site alongside the
     dynamic sizes) — None keeps the runtime cond."""
     n_out = int(slots.shape[0])
+    # kernels are TRACE-only: eager (concrete) calls happen during the
+    # counting pre-pass, which may run on the host CPU backend where
+    # Mosaic cannot lower — and per-op kernel dispatch buys nothing there
     if (_sorted_gather_on() and n_out >= 4096
+            and isinstance(slots, jax.core.Tracer)
             and src.dtype in (jnp.int32, jnp.int64)):
         from .kernels.sorted_gather import BLOCK, W, sorted_gather
 
@@ -366,15 +371,19 @@ class Compiler:
                                                     small_table_gather,
                                                     sorted_gather)
 
-                if use_sorted:
-                    fit = self.span_fits.get(v.skey)
-                    if not isinstance(pos.data, jax.core.Tracer):
-                        # eager size-resolution pass: resolve the span
-                        # fit now and bake the branch for the main trace
-                        fit = resolve_fit(src.length, pos.data, pos.valid)
-                        self.span_fits[v.skey] = fit
-                    data = sorted_gather(src.data, pos.data, pos.valid,
-                                         static_fit=fit).astype(dt)
+                if not isinstance(pos.data, jax.core.Tracer):
+                    # eager size-resolution pass (possibly on the host
+                    # CPU backend): resolve the span fit, bake the branch
+                    # for the main trace, take the value via plain XLA
+                    if use_sorted:
+                        self.span_fits[v.skey] = resolve_fit(
+                            src.length, pos.data, pos.valid)
+                    p = jnp.clip(pos.data, 0, src.length - 1)
+                    data = src.data[p].astype(dt)
+                elif use_sorted:
+                    data = sorted_gather(
+                        src.data, pos.data, pos.valid,
+                        static_fit=self.span_fits.get(v.skey)).astype(dt)
                 else:
                     data = small_table_gather(src.data, pos.data,
                                               pos.valid).astype(dt)
@@ -407,6 +416,7 @@ class Compiler:
             limit = _vmin(src.valid, pos.valid)
             p = jnp.where(idx < limit, pos.data[:n].astype(jnp.int64), L)
             if (n >= 4096 and L < (1 << 30) and _compact_kernel_on()
+                    and isinstance(p, jax.core.Tracer)  # kernels trace-only
                     and vx.shpos.quant == V.UNIQUE
                     and self._monotone(vx.shpos)):
                 # ascending unique positions (FK mask scatters, compaction
@@ -1225,10 +1235,34 @@ class CompiledQuery:
         gs = gather_nodes(self.vexps) if _sorted_gather_on() else []
         if not dyn and not gs:
             return
-        args = self.device_args()
-        # the counting programs run eagerly (op-by-op): they execute once per
-        # (query, dataset) and per-op dispatch sidesteps a rare XLA:CPU
-        # fused-program stall observed under the test harness
+        # The counting programs run eagerly (op-by-op): once per (query,
+        # dataset); per-op dispatch also sidesteps a rare XLA:CPU
+        # fused-program stall observed under the test harness.
+        # On a TUNNELED TPU, per-op dispatch pays a round trip per op —
+        # measured 236s (Q9 SF1) to 829s (Q3 SF0.5) of counting.  Counts,
+        # sizes and span fits are integer-exact pure functions of
+        # (plan, data), so by default the pass runs on the HOST CPU
+        # backend against the store's own arrays instead (seconds, and
+        # the multi-GB device transfer is deferred to the first real
+        # run).  MPLAN2VDL_HOST_COUNTING=0 restores device counting.
+        import contextlib
+
+        host = (os.environ.get("MPLAN2VDL_HOST_COUNTING", "1")
+                not in ("", "0")) and jax.default_backend() != "cpu"
+        ctx = contextlib.nullcontext()
+        if host:
+            try:
+                ctx = jax.default_device(
+                    jax.local_devices(backend="cpu")[0])
+            except Exception:
+                host = False
+        with ctx:
+            args = (tuple(jnp.asarray(self.store.columns[n])
+                          for n in self.loads)
+                    if host else self.device_args())
+            self._counting_pass(dyn, gs, args)
+
+    def _counting_pass(self, dyn, gs, args):
         with jax.disable_jit():
             c = Compiler(self.cfg, self.store, self.join_sizes,
                          self.fsel_sizes, self.span_fits)

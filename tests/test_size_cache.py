@@ -90,3 +90,32 @@ def test_mismatched_record_falls_back(setup, tmp_path, monkeypatch):
     assert cq.join_sizes or cq.fsel_sizes
     r = cq()
     assert len(r.columns[0]) > 0
+
+
+def test_host_counting_matches_device_counting(setup, monkeypatch):
+    """With a non-CPU default backend the counting pre-pass runs on the
+    host CPU backend (MPLAN2VDL_HOST_COUNTING default): resolved sizes
+    and span fits must be identical to device counting — they are pure
+    integer functions of (plan, data).  Simulated here by patching the
+    backend probe; kernels are forced off so the trace stays XLA."""
+    import jax
+
+    from mplan2vdl_tpu.engine import lower
+
+    store, cfg = setup
+    monkeypatch.setenv("MPLAN2VDL_SIZE_CACHE", "0")
+    monkeypatch.setenv("MPLAN2VDL_NO_SORTED_GATHER", "1")
+    monkeypatch.setenv("MPLAN2VDL_NO_COMPACT_KERNEL", "1")
+    with open(Q3) as f:
+        text = f.read()
+    base = lower.compile_plan_text(text, cfg, store)
+    want = canon(base().columns)
+
+    monkeypatch.setattr(lower.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("MPLAN2VDL_HOST_COUNTING", "1")
+    hc = lower.compile_plan_text(text, cfg, store)
+    assert hc.join_sizes == base.join_sizes
+    assert hc.fsel_sizes == base.fsel_sizes
+    monkeypatch.setattr(lower.jax, "default_backend",
+                        jax.default_backend)  # restore for the run
+    assert canon(hc().columns) == want
