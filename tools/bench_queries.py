@@ -117,19 +117,25 @@ def main():
 
     rows, devcache = [], {}
     for q in qs:
-        try:
-            r = bench_one(store, cfg, q, args.iters or ITERS.get(q, 32),
-                          devcache)
-            r["grps"] = n_li / r["ms"] / 1e6
-            rows.append(r)
-            print(f"Q{q}: {r['ms']:.3f}ms {r['grps']:.2f}G rows/s "
-                  f"roofline={r['roofline']:.3f} bw={r['bw_frac']:.3f} "
-                  f"top={r['top']} (compile {r['compile_s']:.0f}s)",
-                  flush=True)
-        except Exception as e:
-            print(f"Q{q}: FAILED {type(e).__name__}: {str(e)[:140]}",
-                  flush=True)
-            rows.append(dict(q=q, fail=str(type(e).__name__)))
+        # the tunneled compile service flakes transiently (HTTP 500
+        # tpu_compile_helper) — one retry distinguishes a flake from a
+        # real failure
+        for attempt in (0, 1):
+            try:
+                r = bench_one(store, cfg, q, args.iters or ITERS.get(q, 32),
+                              devcache)
+                r["grps"] = n_li / r["ms"] / 1e6
+                rows.append(r)
+                print(f"Q{q}: {r['ms']:.3f}ms {r['grps']:.2f}G rows/s "
+                      f"roofline={r['roofline']:.3f} bw={r['bw_frac']:.3f} "
+                      f"top={r['top']} (compile {r['compile_s']:.0f}s)",
+                      flush=True)
+                break
+            except Exception as e:
+                print(f"Q{q}: attempt {attempt} FAILED {type(e).__name__}: "
+                      f"{str(e)[:140]}", flush=True)
+                if attempt:
+                    rows.append(dict(q=q, fail=str(type(e).__name__)))
         _write(args, rows, n_li)
 
 
