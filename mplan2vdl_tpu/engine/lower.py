@@ -26,6 +26,7 @@ Op lowering highlights:
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 from dataclasses import dataclass
@@ -1104,6 +1105,20 @@ def join_key_pairs(roots: List[V.Vexp]):
     return out
 
 
+def _sample_fp(arrs) -> tuple:
+    """Sampled content fingerprint of a tuple of 1-D arrays: first, middle,
+    and last element of each.  Cheap (three element fetches per column,
+    even for device-resident arrays) and enough to catch "same shapes,
+    different dataset" misuse of a CompiledQuery whose span-fit verdicts
+    were baked against the construction-time store."""
+    out = []
+    for a in arrs:
+        n = int(a.shape[0]) if getattr(a, "ndim", 0) else 0
+        idx = (0, n // 2, n - 1) if n else ()
+        out.append(tuple(int(np.asarray(a[i])) for i in idx))
+    return tuple(out)
+
+
 class CompiledQuery:
     """One query compiled against one store: a single jitted XLA program.
 
@@ -1297,8 +1312,15 @@ class CompiledQuery:
             for g in gs:
                 try:
                     c.eval(g)
-                except Exception:
-                    pass  # the main trace will surface any real error
+                except Exception as e:
+                    # The main trace will surface any real error, but a
+                    # host-CPU-only failure here silently leaves span
+                    # verdicts unresolved (query stays on the slow
+                    # runtime-cond path) — keep it visible.
+                    logging.getLogger(__name__).debug(
+                        "eager gather-site eval failed (span verdict "
+                        "unresolved, runtime-cond fallback): %s: %s",
+                        type(e).__name__, e)
 
     def _run(self, table_arrays: Tuple[jnp.ndarray, ...]):
         tables = dict(zip(self.loads, table_arrays))
@@ -1318,15 +1340,25 @@ class CompiledQuery:
         if args is None:
             args = self.device_args()
         elif self._args is not None and args is not self._args:
-            # join_sizes/fsel_sizes were resolved against the construction-
-            # time store; different table contents could overflow an FSel's
-            # resolved buffer and silently truncate rows
+            # join_sizes/fsel_sizes AND streaming-gather span-fit verdicts
+            # were resolved against the construction-time store; different
+            # table contents could overflow an FSel's resolved buffer
+            # (truncation) or run the streaming-gather kernel on positions
+            # whose spans were never validated (wrong values).  Shapes must
+            # match, and a sampled content fingerprint must too — a cheap
+            # best-effort guard; the contract is same-store reuse only.
             ours = self._args
             if (len(args) != len(ours)
                     or any(a.shape != b.shape for a, b in zip(args, ours))):
                 raise ValueError(
                     "CompiledQuery called with arrays of different shapes "
                     "than the store it was compiled against; rebuild with "
+                    "compile_plan_text on the new store")
+            if self.span_fits and _sample_fp(args) != _sample_fp(ours):
+                raise ValueError(
+                    "CompiledQuery called with arrays whose contents differ "
+                    "from the store it was compiled against; gather span-fit "
+                    "verdicts are baked per-store — rebuild with "
                     "compile_plan_text on the new store")
         outs = self._jitted(args)
         cols, names, dts = [], [], []

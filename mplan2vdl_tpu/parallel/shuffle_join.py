@@ -391,7 +391,14 @@ def shard_shuffle_join(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
         # is on the VPU — the double-buffer overlap the north star asks
         # for, expressed as dataflow instead of manual scheduling.  Each
         # sub-range's buffers are ~1/S of the full caps (margin +64);
-        # sub-range skew is caught by the normal overflow retry.
+        # sub-range skew is caught by the normal overflow retry.  NOTE:
+        # the per-sub-range caps assume keys spread evenly across the S
+        # hash sub-ranges — a single non-heavy hot key lands all its
+        # pairs in ONE sub-range and can overflow it, and each retry
+        # doubles the FULL caps (every sub-range's buffers inflate), so
+        # convergence may take several recompiles.  Exact per-sub-range
+        # histograms in the counting round would fix this; deferred
+        # while the flag stays opt-in (virtual-mesh A/B was negative).
         # Measured on the 8-device VIRTUAL mesh (r3, 128K probes / 64K
         # builds): S=1 545ms, S=2 813ms, S=4 529ms median — CPU
         # collectives are synchronous memcpys, so the split only adds

@@ -111,11 +111,14 @@ def test_host_counting_matches_device_counting(setup, monkeypatch):
     base = lower.compile_plan_text(text, cfg, store)
     want = canon(base().columns)
 
+    # lower.jax IS the jax module: capture the real function BEFORE
+    # patching, else the "restore" below assigns the fake back to itself
+    orig_default_backend = jax.default_backend
     monkeypatch.setattr(lower.jax, "default_backend", lambda: "tpu")
     monkeypatch.setenv("MPLAN2VDL_HOST_COUNTING", "1")
     hc = lower.compile_plan_text(text, cfg, store)
     assert hc.join_sizes == base.join_sizes
     assert hc.fsel_sizes == base.fsel_sizes
     monkeypatch.setattr(lower.jax, "default_backend",
-                        jax.default_backend)  # restore for the run
+                        orig_default_backend)  # restore for the run
     assert canon(hc().columns) == want

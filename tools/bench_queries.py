@@ -118,8 +118,9 @@ def main():
     rows, devcache = [], {}
     for q in qs:
         # the tunneled compile service flakes transiently (HTTP 500
-        # tpu_compile_helper) — one retry distinguishes a flake from a
-        # real failure
+        # tpu_compile_helper, socket drops) — retry ONLY when the error
+        # looks transient; a deterministic JaxRuntimeError is recorded on
+        # the first attempt (retrying doubles multi-minute compiles)
         for attempt in (0, 1):
             try:
                 r = bench_one(store, cfg, q, args.iters or ITERS.get(q, 32),
@@ -133,17 +134,27 @@ def main():
                 break
             except Exception as e:
                 print(f"Q{q}: attempt {attempt} FAILED {type(e).__name__}: "
-                      f"{str(e)[:140]}", flush=True)
-                if attempt:
-                    rows.append(dict(q=q, fail=str(type(e).__name__)))
+                      f"{str(e)[:300]}", flush=True)
+                if attempt or not _transient(e):
+                    rows.append(dict(q=q, fail=str(type(e).__name__),
+                                     err=str(e)[:200]))
+                    break
         _write(args, rows, n_li)
+
+
+def _transient(e) -> bool:
+    s = str(e)
+    return any(m in s for m in (
+        "tpu_compile_helper", "500", "UNAVAILABLE", "DEADLINE",
+        "Socket closed", "Connection reset", "RST_STREAM"))
 
 
 def _write(args, rows, n_li):
     dev = jax.devices()[0].device_kind
+    when = time.strftime("%Y-%m-%d")
     with open(args.out, "w") as f:
         f.write(f"# End-to-end query benchmarks ({dev}, SF{args.sf:g}, "
-                f"lineitem={n_li:,})\n\n")
+                f"lineitem={n_li:,}, measured {when}, one session)\n\n")
         f.write(
             "Method: on-device fori_loop K-pair timing (bench.py\n"
             "methodology).  Two fractions per query: `roofline` = speed\n"
