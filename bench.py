@@ -46,14 +46,15 @@ HBM_BW = {"TPU v5 lite": 819e9, "TPU v5": 2765e9, "TPU v4": 1228e9,
 ITERS = {"06": 1024, "01": 256, "12": 64, "19": 64, "03": 32, "04": 32,
          "05": 16, "09": 16}
 K1 = 4
-# per-query SF ceiling: Q3's fori_loop-wrapped TIMING program
-# reproducibly kills the tunneled compile service at SF1 (HTTP 500
-# tpu_compile_helper, 3/3 attempts r3) — the BARE query program compiles
-# in 42s and runs correctly at SF1 (12,064 rows), and individual 6-12M
-# sort shapes compile fine (tools/bisect_compile.py), so this is a
-# harness-program limit, not an engine one.  Q3's loop record stays at
-# SF0.5; the supervisor skips doomed larger-SF attempts.
-SF_CAP = {"03": 0.5}
+# Queries timed with HOST-chained dispatches instead of one on-device
+# fori_loop: Q3's fori_loop-wrapped TIMING program reproducibly killed
+# the tunneled compile service at SF1 (HTTP 500 tpu_compile_helper, 3/3
+# attempts r3) while the BARE query program compiles fine — a harness
+# limit, not an engine one.  Chain mode jits only the bare step and
+# chains K dispatches through the accumulator (still serialized on
+# device; the K-pair difference still cancels the final-fetch RTT).
+# Any query whose loop program fails to compile also falls back here.
+CHAIN = {"03"}
 
 
 def device_bw() -> float:
@@ -82,7 +83,8 @@ def load_store(sf: float):
 
 def bench_query(store, cfg, qname: str, sf: float, devcache: dict) -> dict:
     """Measure one query end-to-end on the device; returns the record."""
-    from mplan2vdl_tpu.engine.hloprof import traffic_report
+    from mplan2vdl_tpu.engine.hloprof import VPU_OPS, traffic_report, \
+        vpu_report
     from mplan2vdl_tpu.engine.lower import chunked_device_put, \
         compile_plan_text
 
@@ -111,36 +113,63 @@ def bench_query(store, cfg, qname: str, sf: float, devcache: dict) -> dict:
     # accumulator to the host.  The query runs K data-chained iterations
     # inside one on-device fori_loop; two K values cancel the host
     # round-trip: per-iter = (t_long - t_short) / (K2 - K1).
+    def body(acc, all_args):
+        # perturb EVERY input with a runtime zero: without this, XLA
+        # hoists loop-invariant subexpressions out of the loop and
+        # materializes them, distorting the per-iteration traffic.
+        # The perturbation is the accumulator's PARITY (not a sign
+        # test): sums of non-negative columns are provably >= 0, so a
+        # sign-based zero is hoistable in principle, while parity
+        # changes with every count added.
+        pert = (acc & 1).astype(jnp.int32)
+        a = tuple(x + pert.astype(x.dtype) for x in all_args)
+        outs = cq._run(a)
+        # consume EVERY output so nothing is dead-code-eliminated
+        for data, valid in outs:
+            acc = (acc + jnp.asarray(valid, jnp.int64)
+                   + jnp.asarray(data[0], jnp.int64))
+        return acc
+
     def loop(all_args, k):
-        def body(i, acc):
-            # perturb EVERY input with a runtime zero: without this, XLA
-            # hoists loop-invariant subexpressions out of the loop and
-            # materializes them, distorting the per-iteration traffic.
-            # The perturbation is the accumulator's PARITY (not a sign
-            # test): sums of non-negative columns are provably >= 0, so a
-            # sign-based zero is hoistable in principle, while parity
-            # changes with every count added.
-            pert = (acc & 1).astype(jnp.int32)
-            a = tuple(x + pert.astype(x.dtype) for x in all_args)
-            outs = cq._run(a)
-            # consume EVERY output so nothing is dead-code-eliminated
-            for data, valid in outs:
-                acc = (acc + jnp.asarray(valid, jnp.int64)
-                       + jnp.asarray(data[0], jnp.int64))
-            return acc
+        return lax.fori_loop(0, k, lambda i, acc: body(acc, all_args),
+                             jnp.int64(0))
 
-        return lax.fori_loop(0, k, body, jnp.int64(0))
-
+    mode = "chain" if (qname in CHAIN
+                       or os.environ.get("BENCH_CHAIN") == "1") else "loop"
     jl = jax.jit(loop, static_argnums=1)
+    jc = jax.jit(body)
+
+    def timed(k):
+        # one timing unit: K chained query executions + one tiny fetch
+        if mode == "loop":
+            return np.asarray(jl(args, k))
+        acc = jnp.int64(0)
+        for _ in range(k):
+            acc = jc(acc, args)  # async dispatch; chained via acc
+        return np.asarray(acc)   # the fetch is the completion barrier
+
     K2 = K1 + ITERS.get(qname, 32)
-    np.asarray(jl(args, K1))
+    try:
+        timed(K1)
+    except Exception as e:
+        if mode == "chain":
+            raise
+        # loop-wrapper compile failure (known tunnel compile-service
+        # limit) — fall back to host-chained dispatches of the bare step
+        print(f"# q{qname} loop-mode compile failed "
+              f"({type(e).__name__}); falling back to chain mode",
+              file=sys.stderr, flush=True)
+        mode = "chain"
+        timed(K1)
     t_k1 = time.time() - t0
-    np.asarray(jl(args, K2))
+    timed(K2)
     t_k2 = time.time() - t0 - t_k1
     # HLO-charged bytes of ONE query execution + the top-traffic op
-    rep = traffic_report(cq._jitted.lower(args).compile().as_text(), top=1)
+    hlo_text = cq._jitted.lower(args).compile().as_text()
+    rep = traffic_report(hlo_text, top=1)
     hlo_bytes = rep["total_bytes"]
     top_op = rep["top_ops"][0][0] if rep["top_ops"] else "?"
+    vrep = vpu_report(hlo_text)
     # speed of light: inputs once + outputs once
     outs = cq(args)
     sol_bytes = (sum(int(np.asarray(a).dtype.itemsize) * len(a)
@@ -156,7 +185,7 @@ def bench_query(store, cfg, qname: str, sf: float, devcache: dict) -> dict:
         reps = []
         for _ in range(int(os.environ.get("BENCH_REPS", "5"))):
             t0 = time.time()
-            np.asarray(jl(args, k))
+            timed(k)
             reps.append(time.time() - t0)
         return float(np.median(reps))
 
@@ -164,6 +193,18 @@ def bench_query(store, cfg, qname: str, sf: float, devcache: dict) -> dict:
 
     n_rows = store.table_count(("lineitem",))
     bw = device_bw()
+    # compute roofline (VERDICT r3 item 5): time floor the VPU elementwise
+    # work sets, vs the HBM floor — whichever is higher is the binding
+    # bound; a query near its binding bound is at ITS speed of light even
+    # when the other fraction looks small
+    kind = jax.devices()[0].device_kind
+    vrate = next((v for k, v in VPU_OPS.items() if kind.startswith(k)),
+                 3.85e12)
+    vpu_floor = vrep["vpu_ops"] / vrate
+    hbm_floor = sol_bytes / bw
+    opaque = vrep["opaque_elems"] > vrep["ew_elems"]
+    bound = ("sort/gather" if opaque
+             else ("vpu" if vpu_floor > hbm_floor else "hbm"))
     rec = {
         "q": qname, "sf": sf,
         "ms": round(t * 1e3, 4),
@@ -172,14 +213,32 @@ def bench_query(store, cfg, qname: str, sf: float, devcache: dict) -> dict:
         "hlo_gb": round(hlo_bytes / 1e9, 4),
         "roofline": round(sol_bytes / bw / t, 4),
         "bw_frac": round(hlo_bytes / bw / t, 4),
+        "vpu_frac": round(vpu_floor / t, 4),
+        "bound": bound,
         "top_op": top_op,
         "compile_s": round(compile_s, 1),
+        "mode": mode,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(f"# q{qname} sf{sf:g} t={t*1e3:.3f}ms sol={sol_bytes/1e6:.1f}MB "
           f"hlo={hlo_bytes/1e6:.1f}MB roofline={rec['roofline']:.3f} "
           f"bw={rec['bw_frac']:.3f} top={top_op} compile={compile_s:.1f}s",
           file=sys.stderr, flush=True)
     return rec
+
+
+def prewarm_child():
+    """Absorb the tunnel's first-touch penalty (measured 70-300s for the
+    FIRST device execution+fetch in a fresh process after idle, ~2s when
+    the chip was touched seconds ago) in a throwaway process, so the
+    measuring child's budget is spent measuring."""
+    t0 = time.time()
+    import jax.numpy as jnp
+    r = jax.jit(lambda a: (a * 7).sum())(jnp.full((8,), 3, jnp.int32))
+    np.asarray(r)
+    print(f"# prewarm: first exec+fetch {time.time()-t0:.1f}s "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr,
+          flush=True)
 
 
 def child():
@@ -204,7 +263,7 @@ def child():
                   file=sys.stderr, flush=True)
 
 
-_LAST_GOOD = "/root/.cache/mplan2vdl_last_bench_r3.json"
+_LAST_GOOD = "/root/.cache/mplan2vdl_last_bench.json"
 _SF10 = "/root/.cache/mplan2vdl_sf10_bench.json"
 
 
@@ -227,18 +286,29 @@ def supervised():
              os.environ.get("BENCH_QUERIES", "06,01,03,09").split(",")]
     best: dict = {}  # q -> record (largest SF, then freshest)
 
-    def eff(q, sf):  # a query's effective SF under its compile-wall cap
-        return min(sf, SF_CAP.get(q, sf))
-
     def missing(sf):
         return [q for q in all_q
-                if (q not in best
-                    or best[q]["sf"] < eff(q, min(sf, sf0)))
-                and eff(q, sf) == sf]
+                if q not in best or best[q]["sf"] < min(sf, sf0)]
 
-    # retry the target SF once (tunnel stalls are flaky, not size-driven),
-    # then shrink for whatever is still missing
-    schedule = [sf0, sf0, max(sf0 / 2, 0.1), max(sf0 / 4, 0.1), 0.1]
+    # The tunneled device charges a 70-300s first-touch penalty to the
+    # first execution+fetch of a fresh process AFTER the chip sat idle
+    # (back-to-back processes pay ~2s) — this, not XLA compiles, is what
+    # starved the r1-r3 official runs.  Absorb it in a throwaway prewarm
+    # child, then give the measuring child ONE big attempt with the rest
+    # of the budget (splitting the budget into short attempts makes every
+    # attempt repay the penalty and lose).
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=dict(os.environ, BENCH_PREWARM="1"), capture_output=True,
+            text=True,
+            timeout=min(240.0, max(10.0, deadline - time.time() - 120)))
+    except subprocess.TimeoutExpired:
+        sys.stderr.write("# prewarm timed out (tunnel very cold)\n")
+
+    # attempt 0 = the target SF with ~all remaining budget; later
+    # attempts shrink SF for whatever is still missing with the leftovers
+    schedule = [sf0, max(sf0 / 2, 0.1), 0.1]
     for attempt, sf in enumerate(schedule):
         todo = missing(sf)
         if not todo:
@@ -249,14 +319,12 @@ def supervised():
             break
         env = dict(os.environ, BENCH_CHILD="1", BENCH_SF=str(sf),
                    BENCH_QUERIES=",".join(todo))
-        # cap each child so one tunnel-stalled query cannot starve the
-        # later (smaller-SF) attempts; children stream per-query results,
-        # so a killed child still contributes everything it finished
-        att_cap = max(150.0, (deadline - time.time()) / 2)
+        # children stream per-query results, so a killed child still
+        # contributes everything it finished
         try:
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
-                                 timeout=min(att_cap, remaining - 20))
+                                 timeout=remaining - 20)
             sys.stderr.write(out.stderr[-3000:])
         except subprocess.TimeoutExpired as e:
             sys.stderr.write(f"# attempt {attempt}: timed out (sf={sf})\n")
@@ -330,7 +398,9 @@ def supervised():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_CHILD") == "1":
+    if os.environ.get("BENCH_PREWARM") == "1":
+        prewarm_child()
+    elif os.environ.get("BENCH_CHILD") == "1":
         child()
     else:
         supervised()

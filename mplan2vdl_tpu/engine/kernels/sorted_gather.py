@@ -43,17 +43,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 1024          # output elements per grid step (8 x 128 tile)
-W = 8192              # source window granularity (elements)
-_TS = W // BLOCK      # (8,128) sub-tiles per window
+W = 8192              # DEFAULT source window granularity (elements)
+# Per-site window sizes: the counting pre-pass measures each gather
+# site's max block span and picks the smallest window covering it —
+# W=1024 for dense selections moves 8x less HBM per output block than
+# the one-size-fits-all 8192 (VERDICT r3 item 4: the kernel owned the
+# achieved-bw gap on every join query).
+W_OPTIONS = (1024, 2048, 4096, 8192)
 
 
-def _kernel(starts_ref, pos_ref, win0_ref, win1_ref, o_ref):
+def _kernel(starts_ref, pos_ref, win0_ref, win1_ref, o_ref, *, ts):
     i32 = jnp.int32
     k = pl.program_id(0)
-    base = starts_ref[k] * i32(W)
+    base = starts_ref[k] * i32(ts * BLOCK)
     off = pos_ref[...] - base            # in [0, 2W) by construction
     c = off & i32(127)
-    t = off >> i32(10)                   # sub-tile id, 0..2*_TS-1
+    t = off >> i32(10)                   # sub-tile id, 0..2*ts-1
     rr = (off >> i32(7)) & i32(7)        # row within sub-tile
     tmin = jnp.min(t)
     tmax = jnp.max(t)
@@ -73,52 +78,57 @@ def _kernel(starts_ref, pos_ref, win0_ref, win1_ref, o_ref):
     def body1(i, acc):
         i = lax.convert_element_type(i, jnp.int32)
         return gather_tile(
-            win1_ref[pl.ds((i - i32(_TS)) * i32(8), 8), :], acc, i)
+            win1_ref[pl.ds((i - i32(ts)) * i32(8), 8), :], acc, i)
 
     acc = jnp.zeros((8, 128), jnp.int32)
-    acc = lax.fori_loop(tmin, jnp.minimum(tmax + i32(1), i32(_TS)),
+    acc = lax.fori_loop(tmin, jnp.minimum(tmax + i32(1), i32(ts)),
                         body0, acc)
-    acc = lax.fori_loop(jnp.maximum(tmin, i32(_TS)), tmax + i32(1),
+    acc = lax.fori_loop(jnp.maximum(tmin, i32(ts)), tmax + i32(1),
                         body1, acc)
     o_ref[...] = acc
 
 
 @functools.cache
-def _build(nblocks: int, nwin: int, m_rows: int, interpret: bool = False):
+def _build(nblocks: int, nwin: int, m_rows: int, w: int = W,
+           interpret: bool = False):
     """The jitted pallas gather for a given (grid, window count, output
-    rows) shape triple.  Traced with x64 off (Mosaic is 32-bit)."""
+    rows, window size) shape tuple.  Traced with x64 off (Mosaic is
+    32-bit)."""
+    ts = w // BLOCK
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblocks,),
             in_specs=[
                 pl.BlockSpec((8, 128), lambda k, st: (k, 0)),
-                pl.BlockSpec((_TS * 8, 128), lambda k, st: (st[k], 0)),
-                pl.BlockSpec((_TS * 8, 128),
+                pl.BlockSpec((ts * 8, 128), lambda k, st: (st[k], 0)),
+                pl.BlockSpec((ts * 8, 128),
                              lambda k, st: (jnp.minimum(st[k] + 1,
                                                         nwin - 1), 0)),
             ],
             out_specs=pl.BlockSpec((8, 128), lambda k, st: (k, 0)),
         )
         return pl.pallas_call(
-            _kernel, grid_spec=grid_spec, interpret=interpret,
+            functools.partial(_kernel, ts=ts), grid_spec=grid_spec,
+            interpret=interpret,
             out_shape=jax.ShapeDtypeStruct((m_rows, 128), jnp.int32))
 
 
-def _gather_i32(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+def _gather_i32(src: jnp.ndarray, pos: jnp.ndarray,
+                w: int = W) -> jnp.ndarray:
     """Core int32 path: ``pos`` monotone int32, all values < len(src).
     Returns out aligned with pos (same length)."""
     m = pos.shape[0]
     m_pad = -(-m // BLOCK) * BLOCK
     n = src.shape[0]
-    n_pad = (-(-n // W) + 1) * W  # +1 window so win1 can always advance
+    n_pad = (-(-n // w) + 1) * w  # +1 window so win1 can always advance
     srcp = jnp.zeros((n_pad,), jnp.int32).at[:n].set(src)
     # pad positions by repeating the last one (keeps monotonicity)
     last = pos[m - 1] if m > 0 else jnp.int32(0)
     posp = jnp.full((m_pad,), last, jnp.int32).at[:m].set(pos)
-    starts = (posp[::BLOCK] // W).astype(jnp.int32)
+    starts = (posp[::BLOCK] // w).astype(jnp.int32)
     interp = os.environ.get("MPLAN2VDL_PL_INTERPRET", "0") not in ("", "0")
-    f = _build(m_pad // BLOCK, n_pad // W, m_pad // 128, interp)
+    f = _build(m_pad // BLOCK, n_pad // w, m_pad // 128, w, interp)
     # the kernel body traces at INVOCATION: keep x64 promotion off there
     with jax.enable_x64(False):
         out = f(starts, posp.reshape(-1, 128), srcp.reshape(-1, 128),
@@ -126,15 +136,20 @@ def _gather_i32(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(-1)[:m]
 
 
-def _spans_fit(pos: jnp.ndarray) -> jnp.ndarray:
+def _max_block_span(posp: jnp.ndarray):
+    """Max over 1024-blocks of (last - first) position; posp padded."""
+    b = posp.reshape(-1, BLOCK)
+    return jnp.max(b[:, BLOCK - 1] - b[:, 0])
+
+
+def _spans_fit(pos: jnp.ndarray, w: int = W) -> jnp.ndarray:
     """True when every 1024-block's position span fits the two-window
-    coverage (span <= W)."""
+    coverage (span <= w)."""
     m = pos.shape[0]
     m_pad = -(-m // BLOCK) * BLOCK
     last = pos[m - 1] if m > 0 else jnp.int32(0)
     posp = jnp.full((m_pad,), last, jnp.int32).at[:m].set(pos)
-    b = posp.reshape(-1, BLOCK)
-    return jnp.max(b[:, BLOCK - 1] - b[:, 0]) <= W
+    return _max_block_span(posp) <= w
 
 
 SMALL_TABLE = 65536   # max VMEM-resident table rows (256KB int32); above
@@ -228,16 +243,27 @@ def _prep_pos(src_len: int, pos: jnp.ndarray, valid) -> jnp.ndarray:
     return jnp.clip(posm, 0, src_len - 1).astype(jnp.int32)
 
 
-def resolve_fit(src_len: int, pos: jnp.ndarray, valid) -> bool:
-    """Eager span-fit verdict for concrete positions: True when every
-    1024-block's span fits the kernel's two-window coverage.  The engine
-    resolves this once per (plan, data) alongside the dynamic sizes and
-    bakes the branch statically — the runtime lax.cond materializes both
-    branches' operands and blocks XLA's gather fusion (it was the
-    top-traffic instruction of Q3's compiled program)."""
+def resolve_fit(src_len: int, pos: jnp.ndarray, valid):
+    """Eager span-fit verdict for concrete positions: False when some
+    1024-block's span exceeds the largest window, else the SMALLEST
+    window size (from W_OPTIONS) covering every block's span — denser
+    selections stream proportionally less HBM.  The engine resolves this
+    once per (plan, data) alongside the dynamic sizes and bakes both the
+    branch and the window size statically — the runtime lax.cond
+    materializes both branches' operands and blocks XLA's gather fusion
+    (it was the top-traffic instruction of Q3's compiled program)."""
     if pos.shape[0] == 0 or src_len == 0:
         return False
-    return bool(_spans_fit(_prep_pos(src_len, pos, valid)))
+    posm = _prep_pos(src_len, pos, valid)
+    m = posm.shape[0]
+    m_pad = -(-m // BLOCK) * BLOCK
+    last = posm[m - 1]
+    posp = jnp.full((m_pad,), last, jnp.int32).at[:m].set(posm)
+    span = int(_max_block_span(posp))
+    for w in W_OPTIONS:
+        if span <= w:
+            return w
+    return False
 
 
 def sorted_gather(src: jnp.ndarray, pos: jnp.ndarray, valid,
@@ -248,30 +274,34 @@ def sorted_gather(src: jnp.ndarray, pos: jnp.ndarray, valid,
     dynamic gather; falls back to XLA's gather when a block's span
     exceeds the window coverage (very sparse, unclustered selections).
     ``static_fit`` (from resolve_fit during the engine's size-resolution
-    pass) bakes that choice at trace time; None keeps the runtime
-    lax.cond.  Output rows past ``valid`` are unspecified — callers
-    mask, as with every engine gather."""
+    pass) bakes both the choice AND the window size at trace time:
+    False = XLA, an int = kernel with that window, True = kernel with
+    the default window (legacy records), None = runtime lax.cond at the
+    default window.  Output rows past ``valid`` are unspecified —
+    callers mask, as with every engine gather."""
     m = pos.shape[0]
     if m == 0 or src.shape[0] == 0:
         return src[jnp.clip(pos, 0, max(src.shape[0] - 1, 0))]
     posm = _prep_pos(src.shape[0], pos, valid)
+    w = (static_fit if isinstance(static_fit, int)
+         and not isinstance(static_fit, bool) else W)
 
     def xla_path(s):
         return s[posm]
 
     if src.dtype == jnp.int32:
-        kern_path = lambda s: _gather_i32(s, posm)  # noqa: E731
+        kern_path = lambda s: _gather_i32(s, posm, w)  # noqa: E731
     elif src.dtype == jnp.int64:
         def kern_path(s):
             lo = _gather_i32((s & 0xFFFFFFFF).astype(jnp.uint32)
-                             .astype(jnp.int32), posm)
-            hi = _gather_i32((s >> 32).astype(jnp.int32), posm)
+                             .astype(jnp.int32), posm, w)
+            hi = _gather_i32((s >> 32).astype(jnp.int32), posm, w)
             return (hi.astype(jnp.int64) << 32) | (
                 lo.astype(jnp.uint32).astype(jnp.int64))
     else:
         return src[posm]
-    if static_fit is True:
-        return kern_path(src)
     if static_fit is False:
         return xla_path(src)
+    if static_fit is not None:   # True or an int window size
+        return kern_path(src)
     return lax.cond(_spans_fit(posm), kern_path, xla_path, src)

@@ -1182,19 +1182,24 @@ class CompiledQuery:
                 rec.append(["join", self.join_sizes[(vx.lkeys.skey,
                                                      vx.rkeys.skey)]])
         gs = gather_nodes(self.vexps)
+
+        def _enc_fit(f):
+            # 0 = XLA fallback; 1 = kernel at the default window (legacy
+            # True); other ints = kernel at that window size
+            return None if f is None else int(f)
+
         if gs:
             # span-fit verdicts ride the same record (same contract:
             # pure functions of (plan, data)); position-aligned over the
             # gather_nodes walk, None where unresolved
             rec.append(["spanfit",
-                        [(1 if self.span_fits[g.skey] else 0)
+                        [_enc_fit(self.span_fits[g.skey])
                          if g.skey in self.span_fits else None
                          for g in gs]])
         jps = join_key_pairs(self.vexps)
         if jps:
             def enc(key):
-                f = self.span_fits.get(key)
-                return None if f is None else (1 if f else 0)
+                return _enc_fit(self.span_fits.get(key))
 
             # join-internal sites (merged-order rs_idx gather + pair
             # expansion), aligned over the join_key_pairs walk
@@ -1219,20 +1224,27 @@ class CompiledQuery:
         if len(rec) != len(dyn) or any(
                 r[0] != kind for r, (kind, _) in zip(rec, dyn)):
             return False
+        def _dec_fit(s):
+            # 0 -> False (XLA), 1 -> True (kernel, default window,
+            # legacy records), else the per-site window size
+            return bool(s) if s in (0, 1) else int(s)
+
         if spans is not None:
             gs = gather_nodes(self.vexps)
             if len(spans) == len(gs):  # else: stale record — cond fallback
                 for s, g in zip(spans, gs):
                     if s is not None:
-                        self.span_fits[g.skey] = bool(s)
+                        self.span_fits[g.skey] = _dec_fit(s)
         if jfits is not None:
             jps = join_key_pairs(self.vexps)
             if len(jfits) == len(jps):
                 for (fr, fe), (l, r) in zip(jfits, jps):
                     if fr is not None:
-                        self.span_fits[("j_rsidx", l.skey, r.skey)] = bool(fr)
+                        self.span_fits[("j_rsidx", l.skey, r.skey)] = \
+                            _dec_fit(fr)
                     if fe is not None:
-                        self.span_fits[("j_exp", l.skey, r.skey)] = bool(fe)
+                        self.span_fits[("j_exp", l.skey, r.skey)] = \
+                            _dec_fit(fe)
         for r, (kind, v) in zip(rec, dyn):
             if kind == "fsel":
                 self.fsel_sizes[v.skey] = int(r[1])

@@ -212,3 +212,39 @@ def test_cost_report_per_op_attribution():
     assert "sort" in po["by_opcode"]
     assert po["top_ops"] and all(b > 0 for _, b, _ in po["top_ops"])
     assert sum(po["by_opcode"].values()) == po["total_bytes"]
+
+
+def test_vpu_report():
+    """The VPU compute-roofline estimator (engine/hloprof.vpu_report)
+    charges elementwise work per output element, reduce inputs once,
+    and counts gather/sort/custom-call output elements as opaque.
+    Checked against a hand-countable jitted program."""
+    import jax
+    import jax.numpy as jnp
+
+    from mplan2vdl_tpu.engine.hloprof import vpu_report
+
+    n = 4096
+
+    def f(a, b):
+        # 3 cheap elementwise ops (mul=2, add=1, compare=1 ≈ 4n min)
+        # + one reduce over n elements
+        return jnp.sum(jnp.where(a > b, a * 2 + b, b))
+
+    hlo = (jax.jit(f)
+           .lower(jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+           .compile().as_text())
+    rep = vpu_report(hlo)
+    assert rep["vpu_ops"] >= 2 * n          # at least mul + reduce
+    assert rep["vpu_ops"] <= 64 * n          # and not wildly overcounted
+    assert rep["ew_elems"] >= n
+    assert rep["opaque_elems"] == 0
+
+    def g(src, idx):
+        return jnp.sort(src[idx])
+
+    hlo2 = (jax.jit(g)
+            .lower(jnp.zeros((n,), jnp.int32),
+                   jnp.zeros((n,), jnp.int32)).compile().as_text())
+    rep2 = vpu_report(hlo2)
+    assert rep2["opaque_elems"] >= n        # gather + sort outputs

@@ -205,7 +205,9 @@ def test_static_fit_paths_match_cond(monkeypatch):
     valid = 8000
     want = np.asarray(src)[np.asarray(pos)][:valid]
     fit = resolve_fit(int(src.shape[0]), pos, valid)
-    assert isinstance(fit, bool)
+    # verdicts are now False (XLA) or the smallest covering window size
+    assert fit is False or (isinstance(fit, int) and fit in
+                            (1024, 2048, 4096, 8192)), fit
     got_static = np.asarray(sorted_gather(src, pos, valid,
                                           static_fit=fit))[:valid]
     got_cond = np.asarray(sorted_gather(src, pos, valid))[:valid]
@@ -215,6 +217,17 @@ def test_static_fit_paths_match_cond(monkeypatch):
     got_xla = np.asarray(sorted_gather(src, pos, valid,
                                        static_fit=False))[:valid]
     np.testing.assert_array_equal(got_xla, want)
+    # legacy True (records written before per-site windows) still works
+    got_legacy = np.asarray(sorted_gather(src, pos, valid,
+                                          static_fit=True))[:valid]
+    np.testing.assert_array_equal(got_legacy, want)
+    # every window size the resolver can pick is exact at a span it covers
+    if isinstance(fit, int) and not isinstance(fit, bool):
+        for w in (1024, 2048, 4096, 8192):
+            if w >= fit:
+                got_w = np.asarray(sorted_gather(src, pos, valid,
+                                                 static_fit=w))[:valid]
+                np.testing.assert_array_equal(got_w, want)
 
 
 def test_span_fit_resolved_and_persisted(monkeypatch):
