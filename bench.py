@@ -202,7 +202,12 @@ def bench_query(store, cfg, qname: str, sf: float, devcache: dict) -> dict:
                  3.85e12)
     vpu_floor = vrep["vpu_ops"] / vrate
     hbm_floor = sol_bytes / bw
-    opaque = vrep["opaque_elems"] > vrep["ew_elems"]
+    # the VPU/HBM floors only bind when the program is elementwise-
+    # dominated; a sort or Pallas kernel owning the traffic means the
+    # binding bound is that op's own throughput (see BENCH_OPS.md /
+    # BENCH_GATHER.md for those ceilings)
+    opaque = (vrep["opaque_elems"] > vrep["ew_elems"]
+              or "pallas" in top_op or top_op.startswith("sort"))
     bound = ("sort/gather" if opaque
              else ("vpu" if vpu_floor > hbm_floor else "hbm"))
     rec = {

@@ -51,22 +51,44 @@ def bench_one(store, cfg, q, iters, devcache):
         for n in cq.loads)
     cargs = cq._args
 
-    def loop(a, k):
-        def it(i, acc):
-            pert = (acc & 1).astype(jnp.int32)
-            ap = tuple(x + pert.astype(x.dtype) for x in a)
-            outs = cq._run(ap)
-            for data, valid in outs:
-                acc = (acc + jnp.asarray(valid, jnp.int64)
-                       + jnp.asarray(data[0], jnp.int64))
-            return acc
+    def body(acc, a):
+        pert = (acc & 1).astype(jnp.int32)
+        ap = tuple(x + pert.astype(x.dtype) for x in a)
+        outs = cq._run(ap)
+        for data, valid in outs:
+            acc = (acc + jnp.asarray(valid, jnp.int64)
+                   + jnp.asarray(data[0], jnp.int64))
+        return acc
 
-        return lax.fori_loop(0, k, it, jnp.int64(0))
+    def loop(a, k):
+        return lax.fori_loop(0, k, lambda i, acc: body(acc, a),
+                             jnp.int64(0))
 
     jl = jax.jit(loop, static_argnums=1)
+    jc = jax.jit(body)
+    mode = "loop"
+
+    def timed(k):
+        if mode == "loop":
+            return np.asarray(jl(cargs, k))
+        acc = jnp.int64(0)
+        for _ in range(k):
+            acc = jc(acc, cargs)
+        return np.asarray(acc)
+
     K1, K2 = 2, 2 + iters
-    np.asarray(jl(cargs, K1))
-    np.asarray(jl(cargs, K2))
+    try:
+        timed(K1)
+    except Exception as e:
+        # the fori_loop TIMING wrapper kills the tunneled compile
+        # service on some join-heavy programs while the bare query
+        # compiles fine (bench.py CHAIN rationale) — fall back to
+        # host-chained dispatches of the bare step
+        print(f"Q{q}: loop-mode compile failed ({type(e).__name__}); "
+              f"chain-mode fallback", flush=True)
+        mode = "chain"
+        timed(K1)
+    timed(K2)
     rep = traffic_report(cq._jitted.lower(cargs).compile().as_text(), top=1)
     outs = cq(cargs)
     sol = (sum(int(np.asarray(a).dtype.itemsize) * len(a) for a in cargs)
@@ -77,7 +99,7 @@ def bench_one(store, cfg, q, iters, devcache):
         ts = []
         for _ in range(5):
             t0 = time.time()
-            np.asarray(jl(cargs, k))
+            timed(k)
             ts.append(time.time() - t0)
         return float(np.median(ts))
 
@@ -87,7 +109,7 @@ def bench_one(store, cfg, q, iters, devcache):
                 hlo_gb=rep["total_bytes"] / 1e9,
                 roofline=sol / 819e9 / t,
                 bw_frac=rep["total_bytes"] / 819e9 / t,
-                top=top, compile_s=compile_s)
+                top=top, compile_s=compile_s, mode=mode)
 
 
 def main():
@@ -137,7 +159,7 @@ def main():
                       f"{str(e)[:300]}", flush=True)
                 if attempt or not _transient(e):
                     rows.append(dict(q=q, fail=str(type(e).__name__),
-                                     err=str(e)[:200]))
+                                     err=str(e)[:400]))
                     break
         _write(args, rows, n_li)
 
@@ -167,6 +189,7 @@ def _write(args, rows, n_li):
         f.write("| query | ms/run | G lineitem-rows/s | sol GB | hlo GB | "
                 "roofline | bw | top op | compile s |\n"
                 "|---|---|---|---|---|---|---|---|---|\n")
+        fails = [r for r in rows if "fail" in r]
         for r in rows:
             if "fail" in r:
                 f.write(f"| Q{r['q']} | FAILED ({r['fail']}) "
@@ -176,6 +199,14 @@ def _write(args, rows, n_li):
                     f"{r['sol_gb']:.3f} | {r['hlo_gb']:.2f} | "
                     f"{r['roofline']:.3f} | {r['bw_frac']:.3f} | "
                     f"{r['top']} | {r['compile_s']:.0f} |\n")
+        chained = [r["q"] for r in rows if r.get("mode") == "chain"]
+        if chained:
+            f.write(f"\nChain-mode (host-chained dispatch; loop wrapper "
+                    f"failed to compile): {', '.join(chained)}\n")
+        if fails:
+            f.write("\n## Failure diagnoses\n\n")
+            for r in fails:
+                f.write(f"- **Q{r['q']}** {r['fail']}: `{r['err']}`\n")
     print(f"wrote {args.out}")
 
 
