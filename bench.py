@@ -348,6 +348,10 @@ def supervised():
             if q and (q not in best or rec["sf"] >= best[q]["sf"]):
                 best[q] = rec
 
+    # A/B runs with engine env overrides must not pollute the ledgers
+    # (they still print their own consolidated line)
+    ab_run = any(k.startswith("MPLAN2VDL_") for k in os.environ)
+
     # merge with last-known-good so a partially-failed run keeps history
     history = {}
     try:
@@ -358,7 +362,7 @@ def supervised():
     for q, rec in history.items():
         if q not in best:
             best[q] = dict(rec, stale=True)
-    if best:
+    if best and not ab_run:
         try:
             with open(_LAST_GOOD, "w") as f:
                 json.dump({q: {k: v for k, v in r.items() if k != "stale"}
@@ -374,7 +378,8 @@ def supervised():
             sf10 = json.load(f)
     except (OSError, ValueError):
         pass
-    if any(r["sf"] >= 10 and not r.get("stale") for r in best.values()):
+    if not ab_run and any(r["sf"] >= 10 and not r.get("stale")
+                          for r in best.values()):
         for q, r in best.items():
             if r["sf"] >= 10 and not r.get("stale"):
                 sf10[q] = r

@@ -77,6 +77,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4 * 1024 * 1024)
     ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--blocks", default=str(BLOCK))
     args = ap.parse_args()
     n = -(-args.n // BLOCK) * BLOCK
 
@@ -97,13 +98,20 @@ def main():
     print("exactness: fused == numpy oracle", flush=True)
 
     nbytes = 5 * 4 * n  # 4 cols + gid, int32
-    t_f = time_fn(fused, (*cols, gid), args.iters)
-    print(f"fused_multiagg: {t_f*1e6:.1f}us {nbytes/t_f/1e9:.0f}GB/s "
-          f"({nbytes/t_f/HBM_BW*100:.0f}% roofline) {n/t_f:.3g} rows/s")
+    for blk in [int(b) for b in args.blocks.split(",")]:
+        if n % blk:
+            continue
+        fb = lambda *a: fused_group_aggregate(  # noqa: E731
+            list(a[:-1]), a[-1], SPECS, N_GROUPS, block=blk,
+            interpret=not on_tpu)
+        assert np.array_equal(np.asarray(fb(*cols, gid)), want)
+        t_f = time_fn(fb, (*cols, gid), args.iters)
+        print(f"fused block={blk}: {t_f*1e6:.1f}us {nbytes/t_f/1e9:.0f}GB/s "
+              f"({nbytes/t_f/HBM_BW*100:.0f}% roofline) {n/t_f:.3g} rows/s",
+              flush=True)
     t_x = time_fn(xla_baseline, (cols, gid), args.iters)
     print(f"xla_baseline:   {t_x*1e6:.1f}us {nbytes/t_x/1e9:.0f}GB/s "
           f"({nbytes/t_x/HBM_BW*100:.0f}% roofline) {n/t_x:.3g} rows/s")
-    print(f"speedup: {t_x/t_f:.2f}x")
 
 
 if __name__ == "__main__":
