@@ -82,6 +82,11 @@ class Config:
     # sparse group-by path sorts anyway, so contention shuffles would only
     # add gather traffic.
     conformance_agg: bool = False
+    # Reproduce the reference's dictionary-lookup trace side-channel
+    # (Mplan.hs:44 prints ",,<string>,<code>" to stderr on every char-
+    # literal resolution, a debugging quirk of the Haskell `trace`).
+    # Off by default; `--quirks` turns the full quirk set on.
+    quirk_trace_dict: bool = False
     # catalog
     dictionary: Dict[str, int] = field(default_factory=dict)  # string -> code (global; last wins, Config.hs:83-86)
     col_dictionary: Dict[Name, Dict[str, int]] = field(default_factory=dict)  # per-column, for LIKE

@@ -55,6 +55,15 @@ def _add_flag_args(p):
                    help="one-value-per-vector output labels")
     p.add_argument("--dot", action="store_true",
                    help="emit a graphviz digraph of the plan tree")
+    p.add_argument("--quirks", action="store_true", default=None,
+                   help="reproduce the reference's behavioral quirks "
+                        "byte-for-byte: the dictionary-lookup stderr "
+                        "trace (Mplan.hs:44) on top of the always-on "
+                        "conformance rewrites")
+    p.add_argument("--no-quirks", dest="quirks", action="store_false",
+                   help="drop the reference quirk set (conformance-agg "
+                        "rewrites incl. the hardcoded >32000 shuffle, "
+                        "Vlite.hs:1076-1079) from the emitted VDL")
 
 
 def _config_from_args(args):
@@ -78,8 +87,11 @@ def _config_from_args(args):
         grainsize_log=g.bit_length() - 1,
         # the CLI compile path produces the reference-conformance VDL
         # artifact: apply the aggregation-strategy rewrites (the engine's
-        # `run` path builds its own Config and keeps them off)
-        conformance_agg=True,
+        # `run` path builds its own Config and keeps them off).
+        # --no-quirks drops them; --quirks additionally turns on the
+        # dictionary-lookup stderr trace (the full reference quirk set)
+        conformance_agg=args.quirks is not False,
+        quirk_trace_dict=args.quirks is True,
     )
 
 

@@ -267,6 +267,12 @@ def _resolve_char_literal(cfg: Config, s: str) -> int:
         # equal to any stored code; encode it as a sentinel no column uses.
         # (The reference errors instead, Mplan.hs:42-44; extension.)
         return -1
+    if cfg.quirk_trace_dict:
+        # reference quirk: every resolved char literal is traced to stderr
+        # as ",,<string>,<code>" (Mplan.hs:44) — reproduced under --quirks
+        import sys
+
+        print(f",,{s},{code}", file=sys.stderr)
     return code
 
 

@@ -58,3 +58,35 @@ def test_q22_compiles_without_cphone_dictionary(capsys):
     q22 = os.path.join(TPCH10, "22.sql.mplan")
     out = _main([q22] + META, capsys)
     assert "MaterializeCompact" in out
+
+
+def test_quirks_flag_traces_dictionary_lookups(capsys):
+    """--quirks reproduces the reference's dictionary-lookup stderr
+    trace (Mplan.hs:44 prints ",,<string>,<code>" per char literal);
+    stdout stays byte-identical, and the default path emits no trace."""
+    q3 = os.path.join(TPCH10, "03.sql.mplan")
+    from mplan2vdl_tpu.cli import main
+
+    main([q3] + META + ["-p", "--quirks"])
+    cap = capsys.readouterr()
+    assert ",,BUILDING,16" in cap.err
+    main([q3] + META + ["-p"])
+    plain = capsys.readouterr()
+    assert ",," not in plain.err
+    assert plain.out == cap.out
+
+
+def test_no_quirks_drops_conformance_rewrites(capsys):
+    """--no-quirks compiles without the reference's hardcoded >32000
+    sparse-domain shuffle / agg-strategy rewrites (Vlite.hs:1076-1079,
+    1173-1194): the program still materializes, and the Q18 orderkey
+    group-by (domain > 32000) loses its shuffle stage."""
+    q18 = os.path.join(TPCH10, "18.sql.mplan")
+    from mplan2vdl_tpu.cli import main
+
+    main([q18] + META + ["-p"])
+    with_quirks = capsys.readouterr().out
+    main([q18] + META + ["-p", "--no-quirks"])
+    without = capsys.readouterr().out
+    assert "MaterializeCompact" in without
+    assert len(without.splitlines()) < len(with_quirks.splitlines())
