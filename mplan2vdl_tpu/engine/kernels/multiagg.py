@@ -59,7 +59,13 @@ from jax.experimental import pallas as pl
 
 LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
-BLOCK = 2048  # rows per grid step = 16 sublanes x 128 lanes of int32
+# rows per grid step (sublanes x 128 lanes of int32).  Swept on v5e at
+# n=16.7M (tools/bench_multiagg.py --blocks, r4): 2048 -> 3380us,
+# 4096 -> 2273, 8192 -> 1821, 16384 -> 1557 (plateau; 32K/64K equal,
+# 128K worse).  The per-block fixed cost (one masked reduce per
+# group x limb row) dominates at small blocks; 16384 amortizes it
+# 2.17x over the old 2048 while VMEM stays ~400KB.
+BLOCK = 16384
 LANES = 128
 RENORM_EVERY = 256  # power of 2; lane acc < 2^16 + 256*2^20 < 2^31 between renorms
 

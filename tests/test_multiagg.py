@@ -5,7 +5,9 @@ import numpy as np
 import pytest
 
 
-def _pad(a, block=2048):
+def _pad(a, block=None):
+    from mplan2vdl_tpu.engine.kernels.multiagg import BLOCK
+    block = block or BLOCK
     n = len(a)
     m = -(-n // block) * block
     out = np.zeros(m, a.dtype)
@@ -53,7 +55,8 @@ def test_limb_math_extremes():
 
     from mplan2vdl_tpu.engine.kernels import multiagg as MA
 
-    n = 2048
+    price_n = 2048
+    n = price_n
     price = np.full(n, 2**31 - 1, np.int32)   # max int32 base
     disc = np.zeros(n, np.int32)              # factor = 100 (max growth)
     gid = np.zeros(n, np.int32)
@@ -61,6 +64,6 @@ def test_limb_math_extremes():
                         bits=45)]
     got = np.asarray(MA.fused_group_aggregate(
         [jnp.asarray(price), jnp.asarray(disc)], jnp.asarray(gid),
-        specs, 1, interpret=True))
+        specs, 1, block=2048, interpret=True))
     want = MA.reference_group_aggregate([price, disc], gid, specs, 1)
     assert np.array_equal(got, want), (got, want)

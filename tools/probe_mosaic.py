@@ -148,6 +148,53 @@ def main():
     run_probe("stack_plus_dot_general", k_full, (S, G), want7,
               jnp.asarray(vals_np), jnp.asarray(gid_np))
 
+    # --- patterns for the flattened-matmul multiagg design ------------
+    R3 = 8
+    flatv_np = rng.integers(0, 1 << 12, (R3, S * C)).astype(np.int32)
+    flatm_np = rng.integers(0, 2, (G, S * C)).astype(np.int32)
+
+    # 8. A x B^T via dot_general contracting ((1,),(1,)) — no transpose
+    want8 = (flatv_np.astype(np.float32)
+             @ flatm_np.astype(np.float32).T)
+
+    def k_abt(a_ref, b_ref, o_ref):
+        o_ref[...] = lax.dot_general(
+            a_ref[...].astype(jnp.float32), b_ref[...].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    run_probe("dot_abT_contract_lanes", k_abt, (R3, G), want8,
+              jnp.asarray(flatv_np), jnp.asarray(flatm_np))
+
+    # 9. wide transpose [G, S*C] -> [S*C, G] then plain matmul
+    def k_t_mm(a_ref, b_ref, o_ref):
+        o_ref[...] = jnp.dot(a_ref[...].astype(jnp.float32),
+                             b_ref[...].astype(jnp.float32).T,
+                             preferred_element_type=jnp.float32)
+
+    run_probe("matmul_with_rhs_T", k_t_mm, (R3, G), want8,
+              jnp.asarray(flatv_np), jnp.asarray(flatm_np))
+
+    # 10. in-kernel reshape (S,128)->(1,S*C), stack R rows, then matmul
+    #     against a G-padded-to-128 one-hot built in flat layout
+    vals3_np = rng.integers(0, 1 << 12, (R3, S, C)).astype(np.int32)
+    want10 = np.einsum("rsc,sc->r", vals3_np.astype(np.float64),
+                       (gid_np == 1).astype(np.float64))
+    want10 = np.repeat(want10[:, None], G, axis=1).astype(np.float32)
+
+    def k_flat(v_ref, g_ref, o_ref):
+        rows = [v_ref[...][r].reshape(1, S * C).astype(jnp.float32)
+                for r in range(R3)]
+        a = jnp.concatenate(rows, axis=0)            # [R3, S*C]
+        m1 = (g_ref[...] == 1).reshape(1, S * C).astype(jnp.float32)
+        mm = jnp.broadcast_to(m1, (G, S * C))        # same mask per col
+        o_ref[...] = lax.dot_general(
+            a, mm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    run_probe("reshape_stack_dot", k_flat, (R3, G), want10,
+              jnp.asarray(vals3_np), jnp.asarray(gid_np))
+
 
 if __name__ == "__main__":
     main()
