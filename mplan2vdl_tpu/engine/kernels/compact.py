@@ -49,6 +49,8 @@ from ... import jaxcfg  # noqa: F401  (x64 + persistent compilation cache)
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+
+from .. import scan
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 8192            # elements per grid step
@@ -186,7 +188,7 @@ def compact_positions(mask: jnp.ndarray, n_out: int = None) -> jnp.ndarray:
             mask.astype(jnp.int32))
         counts = jnp.sum(m32.reshape(-1, BLK), axis=1, dtype=jnp.int32)
         offs = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+            [jnp.zeros((1,), jnp.int32), scan.cumsum(counts)[:-1]])
         nz = jnp.sum(counts)
         rows = npad // 128 + R + 8
         f = _build(npad // BLK, rows, interp)

@@ -52,7 +52,19 @@ W = 8192              # DEFAULT source window granularity (elements)
 W_OPTIONS = (1024, 2048, 4096, 8192)
 
 
-def _kernel(starts_ref, pos_ref, win0_ref, win1_ref, o_ref, *, ts):
+def _wide_gather_on() -> bool:
+    """MPLAN2VDL_GATHER_WIDE=1 switches the in-register sub-tile gather
+    from the 8-row broadcast+mask unroll (~32 vector ops/sub-tile) to a
+    single take_along_axis across the sub-tile flattened into a
+    1024-lane axis.  KEEP OFF: interpret mode is exact, and the
+    standalone pattern passes on chip (tools/probe_mosaic.py probe 11),
+    but inside this kernel Mosaic MISCOMPILES it (wrong values, r4
+    oracle-gated A/B) and the 1-D jnp.take form is rejected ("Only 2D
+    gather is supported").  Retained for future toolchains."""
+    return os.environ.get("MPLAN2VDL_GATHER_WIDE", "0") not in ("", "0")
+
+
+def _kernel(starts_ref, pos_ref, win0_ref, win1_ref, o_ref, *, ts, wide):
     i32 = jnp.int32
     k = pl.program_id(0)
     base = starts_ref[k] * i32(ts * BLOCK)
@@ -63,13 +75,22 @@ def _kernel(starts_ref, pos_ref, win0_ref, win1_ref, o_ref, *, ts):
     tmin = jnp.min(t)
     tmax = jnp.max(t)
 
-    def gather_tile(tile, acc, i):
-        out_i = jnp.zeros((8, 128), jnp.int32)
-        for s in range(8):
-            row_b = jnp.broadcast_to(tile[s, :][None, :], (8, 128))
-            gs = jnp.take_along_axis(row_b, c, axis=1)
-            out_i = jnp.where(rr == jnp.int32(s), gs, out_i)
-        return acc + jnp.where(t == i, out_i, jnp.int32(0))
+    if wide:
+        low10 = off & i32(1023)          # offset within sub-tile
+
+        def gather_tile(tile, acc, i):
+            wide_t = jnp.broadcast_to(tile.reshape(1, 8 * 128),
+                                      (8, 8 * 128))
+            gs = jnp.take_along_axis(wide_t, low10, axis=1)
+            return acc + jnp.where(t == i, gs, jnp.int32(0))
+    else:
+        def gather_tile(tile, acc, i):
+            out_i = jnp.zeros((8, 128), jnp.int32)
+            for s in range(8):
+                row_b = jnp.broadcast_to(tile[s, :][None, :], (8, 128))
+                gs = jnp.take_along_axis(row_b, c, axis=1)
+                out_i = jnp.where(rr == jnp.int32(s), gs, out_i)
+            return acc + jnp.where(t == i, out_i, jnp.int32(0))
 
     def body0(i, acc):
         i = lax.convert_element_type(i, jnp.int32)
@@ -90,7 +111,7 @@ def _kernel(starts_ref, pos_ref, win0_ref, win1_ref, o_ref, *, ts):
 
 @functools.cache
 def _build(nblocks: int, nwin: int, m_rows: int, w: int = W,
-           interpret: bool = False):
+           interpret: bool = False, wide: bool = False):
     """The jitted pallas gather for a given (grid, window count, output
     rows, window size) shape tuple.  Traced with x64 off (Mosaic is
     32-bit)."""
@@ -109,8 +130,8 @@ def _build(nblocks: int, nwin: int, m_rows: int, w: int = W,
             out_specs=pl.BlockSpec((8, 128), lambda k, st: (k, 0)),
         )
         return pl.pallas_call(
-            functools.partial(_kernel, ts=ts), grid_spec=grid_spec,
-            interpret=interpret,
+            functools.partial(_kernel, ts=ts, wide=wide),
+            grid_spec=grid_spec, interpret=interpret,
             out_shape=jax.ShapeDtypeStruct((m_rows, 128), jnp.int32))
 
 
@@ -128,7 +149,8 @@ def _gather_i32(src: jnp.ndarray, pos: jnp.ndarray,
     posp = jnp.full((m_pad,), last, jnp.int32).at[:m].set(pos)
     starts = (posp[::BLOCK] // w).astype(jnp.int32)
     interp = os.environ.get("MPLAN2VDL_PL_INTERPRET", "0") not in ("", "0")
-    f = _build(m_pad // BLOCK, n_pad // w, m_pad // 128, w, interp)
+    f = _build(m_pad // BLOCK, n_pad // w, m_pad // 128, w, interp,
+               _wide_gather_on())
     # the kernel body traces at INVOCATION: keep x64 promotion off there
     with jax.enable_x64(False):
         out = f(starts, posp.reshape(-1, 128), srcp.reshape(-1, 128),

@@ -48,7 +48,7 @@ from ..catalog import ColInfo, Config
 from ..mtypes import DDate, DDecimal, DString, INT32_MAX, INT32_MIN
 from ..names import Name, name_str
 from .columnstore import ColumnStore
-from . import mergesearch
+from . import mergesearch, scan
 from .kernels import segred
 
 DENSE_DOMAIN_LIMIT = 1 << 20
@@ -202,7 +202,7 @@ def _expand_li(cum: jnp.ndarray, k: jnp.ndarray, fits=None,
         _, sorg = lax.sort((tagged, origin), num_keys=1)
         is_q = sorg >= m                 # pads rank last: harmless
         pos = (lax.iota(jnp.int32, total) + 1
-               - jnp.cumsum(is_q.astype(jnp.int32)))
+               - scan.cumsum(is_q.astype(jnp.int32)))
         qslots = _sel_positions(is_q)[:B]
         fit = _resolve_take_fit(fits, fitkey, int(pos.shape[0]), qslots)
         return _take_ascending(pos, qslots, static_fit=fit).astype(jnp.int64)
@@ -227,6 +227,9 @@ def like_to_regex(pattern: str) -> "re.Pattern":
         else:
             out.append(re.escape(ch))
     return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+BLOCK_PAD = 1024  # compacted fold-input lengths round up to this
 
 
 def _monotone_positions(v: V.Vexp) -> bool:
@@ -262,7 +265,9 @@ class Compiler:
     def __init__(self, cfg: Config, store: ColumnStore,
                  join_sizes: Optional[Dict[tuple, int]] = None,
                  fsel_sizes: Optional[Dict[int, int]] = None,
-                 span_fits: Optional[Dict[int, bool]] = None):
+                 span_fits: Optional[Dict[int, bool]] = None,
+                 fold_counts: Optional[Dict[tuple, int]] = None):
+        self.fold_counts = fold_counts if fold_counts is not None else {}
         self.cfg = cfg
         self.store = store
         # keep the CALLER's dict objects: the size-resolution loop fills
@@ -586,7 +591,7 @@ class Compiler:
             lo = jnp.searchsorted(rs, l_ok, side="left")
             hi = jnp.searchsorted(rs, l_ok, side="right")
         cnt = (hi - lo).astype(jnp.int64)
-        cum = jnp.cumsum(cnt)
+        cum = scan.cumsum(cnt)
         total = cum[-1] if n > 0 else jnp.int64(0)
         art = dict(n=n, m=m, rs_idx=rs_idx, lo=lo, cnt=cnt, cum=cum,
                    total=total, lvalid=lv.valid)
@@ -742,31 +747,63 @@ class Compiler:
             # int32 sort keys when the id domain allows (dump slot included)
             kdt = jnp.int32 if (domain < 2**31 - 1 and n < 2**31) \
                 else jnp.int64
-            ids = g.data.astype(kdt)
-            ids_ok = jnp.where(validmask, ids, kdt(domain))
-            sorted_ids, perm = lax.sort((ids_ok, idx.astype(kdt)),
-                                        num_keys=1)
+            # Fold-input compaction (r4): when the counting pre-pass has
+            # resolved this (groups, mask) pair's survivor count and the
+            # fold is selective (<= n/4 valid rows), compact the rows
+            # FIRST and sort only the survivors — Q15's date filter
+            # keeps 3.5% of lineitem, so its suppkey group-by sorts 52K
+            # rows instead of 1.5M.  ``perm`` then holds ORIGINAL row
+            # ids (perm_space = n) while every positional artifact lives
+            # in the compacted space of length n_s.
+            fkey = (fgroups.skey, fmask.skey if fmask is not None else None)
+            fc = self.fold_counts.get(fkey)
+            n_s = n
+            if fc is not None and fc * 4 <= n:
+                n_s = min(-(-max(fc, 1) // BLOCK_PAD) * BLOCK_PAD, n)
+            if n_s < n:
+                nvalid = jnp.sum(validmask.astype(jnp.int64))
+                sel = _sel_positions(validmask)[:n_s]
+                pdt = jnp.int32 if n < 2**31 else jnp.int64
+                sel = jnp.clip(sel, 0, n - 1).astype(pdt)
+                ids_c = g.data[sel].astype(kdt)
+                validmask_s = (jnp.arange(n_s, dtype=jnp.int64) < nvalid)
+                ids_ok = jnp.where(validmask_s, ids_c, kdt(domain))
+                sorted_ids, perm_c = lax.sort(
+                    (ids_ok, jnp.arange(n_s, dtype=kdt)), num_keys=1)
+                perm = sel[jnp.clip(perm_c, 0, n_s - 1).astype(pdt)]
+            else:
+                ids = g.data.astype(kdt)
+                ids_ok = jnp.where(validmask, ids, kdt(domain))
+                sorted_ids, perm = lax.sort((ids_ok, idx.astype(kdt)),
+                                            num_keys=1)
             sorted_valid = sorted_ids < domain
             prev = jnp.concatenate([sorted_ids[:1] - 1, sorted_ids[:-1]])
             head = sorted_ids != prev
-            run_id = jnp.cumsum(head.astype(jnp.int64)) - 1
+            run_id = scan.cumsum_flags(head) - 1
             run_ok = jnp.where(sorted_valid, run_id, L_out)
             ngroups = jnp.sum((head & sorted_valid).astype(jnp.int64))
             # run-start positions (ascending) and per-run end positions —
             # the scatter-free segmented-reduce machinery: sums become
             # cumsum differences at run ends, choose reads run starts,
-            # min/max use a log-sweep segmented prefix
+            # min/max use a log-sweep segmented prefix.  Under fold-input
+            # compaction n_s may be SMALLER than L_out (fewer survivors
+            # than the group domain): pad the length-L_out positional
+            # artifacts (entries past ngroups are masked downstream).
             starts = _sel_positions(head)[:L_out]
+            if starts.shape[0] < L_out:
+                starts = jnp.concatenate(
+                    [starts, jnp.zeros((L_out - starts.shape[0],),
+                                       starts.dtype)])
             next_start = jnp.concatenate(
-                [starts[1:], jnp.full((1,), n, starts.dtype)])
+                [starts[1:], jnp.full((1,), n_s, starts.dtype)])
             kidx = jnp.arange(L_out, dtype=jnp.int64)
             ends = jnp.where(kidx + 1 < ngroups, next_start - 1, 0)
             last_valid = jnp.sum(sorted_valid.astype(jnp.int64)) - 1
             ends = jnp.where(kidx + 1 == ngroups, last_valid, ends)
             run_start_of_row = starts[jnp.clip(run_ok, 0, L_out - 1)]
-            art.update(dense=False, perm=perm, run_ok=run_ok,
-                       ngroups=ngroups, starts=starts, ends=ends,
-                       sorted_valid=sorted_valid,
+            art.update(dense=False, n=n_s, perm_space=n, perm=perm,
+                       run_ok=run_ok, ngroups=ngroups, starts=starts,
+                       ends=ends, sorted_valid=sorted_valid,
                        run_start_of_row=run_start_of_row)
         self.group_cache[key] = art
         return art
@@ -786,7 +823,9 @@ class Compiler:
             return self._eval_fold_distinct(v, vx, dt, domain, L_out)
         art = self._group_artifacts(vx.fgroups, L_out, vx.fmask)
         n = art["n"]
-        data = dval.data[:n].astype(dt)
+        # under fold-input compaction perm holds ORIGINAL row ids over
+        # the full input (perm_space), while n is the compacted length
+        data = dval.data[:art.get("perm_space", n)].astype(dt)
         opname = {V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
                   V.FCHOOSE: "max"}[vx.foldop]
         if art["dense"]:
@@ -808,7 +847,15 @@ class Compiler:
             kidx = jnp.arange(L_out, dtype=jnp.int64)
             kmask = kidx < art["ngroups"]
             if vx.foldop == V.FSUM:
-                cs = jnp.cumsum(sorted_data.astype(jnp.int64))
+                # cumsum strategy (measured end-to-end, r4): the manual
+                # log-sweep replaces XLA's reduce-window — Q15 (2501
+                # groups) 52.6 -> 33.1ms; but on huge-domain folds the
+                # sweep's materialized add chain regresses (Q18, domain
+                # ~n: 51.7 -> 58.4ms), so it gates on the output domain.
+                # Isolated rates: tools/probe_cumsum.py.
+                cs64 = sorted_data.astype(jnp.int64)
+                cs = (scan._logsweep(cs64) if L_out <= 65536
+                      else jnp.cumsum(cs64))
                 at_end = cs[jnp.clip(art["ends"], 0, n - 1)]
                 start_idx = jnp.clip(art["starts"], 0, n - 1)
                 before = jnp.where(start_idx > 0,
@@ -885,7 +932,7 @@ class Compiler:
             ends = jnp.where(kidx + 1 < ngroups, next_start - 1, 0)
             last_valid = jnp.sum(svalid.astype(jnp.int64)) - 1
             ends = jnp.where(kidx + 1 == ngroups, last_valid, ends)
-            cs = jnp.cumsum(new_pair.astype(jnp.int64))
+            cs = scan.cumsum_flags(new_pair)
             at_end = cs[jnp.clip(ends, 0, n - 1)]
             start_idx = jnp.clip(starts.astype(jnp.int64), 0, n - 1)
             before = jnp.where(start_idx > 0,
@@ -1043,6 +1090,12 @@ def dynamic_nodes(roots: List[V.Vexp]):
             go(c)
         if isinstance(v.vx, V.Fold) and v.vx.foldop == V.FSEL:
             out.append(("fsel", v))
+        if (isinstance(v.vx, V.Fold)
+                and v.vx.foldop in (V.FSUM, V.FMAX, V.FMIN, V.FCHOOSE)
+                and v.vx.fgroups.info.bounds[1] + 1 > segred.SMALL_DOMAIN):
+            # sparse-path folds: the valid-row count gates fold-input
+            # compaction (sort survivors, not the static length)
+            out.append(("fold", v))
         if isinstance(v.vx, V.JoinIndex) and v.vx.jside not in (
                 V.JSEMI, V.JANTI):
             key = (v.vx.lkeys.skey, v.vx.rkeys.skey)
@@ -1135,6 +1188,7 @@ class CompiledQuery:
         self.loads = sorted({vx.name for vx in _all_loads(vexps)})
         self.join_sizes: Dict[tuple, int] = {}
         self.fsel_sizes: Dict[int, int] = {}
+        self.fold_counts: Dict[tuple, int] = {}
         self.span_fits: Dict[int, bool] = {}
         self._args = None
         if preset_sizes is None or not self._apply_preset(preset_sizes):
@@ -1177,6 +1231,11 @@ class CompiledQuery:
         for kind, v in self._dynamic_nodes():
             if kind == "fsel":
                 rec.append(["fsel", self.fsel_sizes[v.skey]])
+            elif kind == "fold":
+                vx = v.vx
+                fkey = (vx.fgroups.skey,
+                        vx.fmask.skey if vx.fmask is not None else None)
+                rec.append(["fold", self.fold_counts.get(fkey)])
             else:
                 vx = v.vx
                 rec.append(["join", self.join_sizes[(vx.lkeys.skey,
@@ -1248,6 +1307,12 @@ class CompiledQuery:
         for r, (kind, v) in zip(rec, dyn):
             if kind == "fsel":
                 self.fsel_sizes[v.skey] = int(r[1])
+            elif kind == "fold":
+                if r[1] is not None:
+                    vx = v.vx
+                    fkey = (vx.fgroups.skey,
+                            vx.fmask.skey if vx.fmask is not None else None)
+                    self.fold_counts[fkey] = int(r[1])
             else:
                 vx = v.vx
                 self.join_sizes[(vx.lkeys.skey, vx.rkeys.skey)] = int(r[1])
@@ -1292,10 +1357,30 @@ class CompiledQuery:
     def _counting_pass(self, dyn, gs, args):
         with jax.disable_jit():
             c = Compiler(self.cfg, self.store, self.join_sizes,
-                         self.fsel_sizes, self.span_fits)
+                         self.fsel_sizes, self.span_fits, self.fold_counts)
             c.memo, c.group_cache, c.join_cache = {}, {}, {}
             c.tables = dict(zip(self.loads, args))
             for kind, v in dyn:
+                if kind == "fold":
+                    # resolve the masked fold's survivor count for
+                    # fold-input compaction; pop any count already
+                    # adopted so the eager eval below does not depend
+                    # on its own result
+                    vx = v.vx
+                    fkey = (vx.fgroups.skey,
+                            vx.fmask.skey if vx.fmask is not None else None)
+                    if fkey in self.fold_counts:
+                        continue
+                    gv = c._force(c.eval(vx.fgroups))
+                    nn = gv.length
+                    vm = (jnp.arange(nn, dtype=jnp.int64)
+                          < jnp.asarray(gv.valid, jnp.int64))
+                    if vx.fmask is not None:
+                        mv = c._force(c.eval(vx.fmask))
+                        vm = vm & (mv.data[:nn] != 0)
+                    self.fold_counts[fkey] = max(
+                        int(np.asarray(jnp.sum(vm.astype(jnp.int64)))), 1)
+                    continue
                 if kind == "fsel":
                     val = c.eval(v)
                     nz = int(np.asarray(val.valid))
@@ -1337,7 +1422,7 @@ class CompiledQuery:
     def _run(self, table_arrays: Tuple[jnp.ndarray, ...]):
         tables = dict(zip(self.loads, table_arrays))
         c = Compiler(self.cfg, self.store, self.join_sizes, self.fsel_sizes,
-                     self.span_fits)
+                     self.span_fits, self.fold_counts)
         c.fold_map, c.families = self.fold_map, self.families
         vals = c.trace(self.vexps, tables)
         return tuple((v.data, jnp.asarray(v.valid, jnp.int64)) for v in vals)

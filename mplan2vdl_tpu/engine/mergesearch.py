@@ -79,7 +79,8 @@ def _positions_from_merge(operands, num_keys, m, idt):
     sorted_ops = lax.sort(tuple(operands) + (origin,), num_keys=num_keys)
     sorg = sorted_ops[-1]
     is_q = (sorg >= m).astype(idt)
-    incq = jnp.cumsum(is_q)
+    from . import scan
+    incq = scan.cumsum(is_q)
     # query at merged rank p has (incq[p]-1) queries strictly before it,
     # so table entries before it = p - (incq[p] - 1)
     pos = lax.iota(idt, total) + 1 - incq

@@ -33,6 +33,8 @@ import jax
 from .. import jaxcfg  # noqa: F401  (x64 + persistent compilation cache)
 
 import jax.numpy as jnp
+
+from ..engine import scan
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -155,8 +157,8 @@ def shuffle_by_key(mesh: Mesh, keys: jax.Array, values: jax.Array,
         order = jnp.argsort(dest, stable=True)
         ks, vs, ds = k[order], v[order], dest[order]
         # position within destination bucket
-        onehot_cum = jnp.cumsum(
-            jax.nn.one_hot(ds, n_dev, dtype=jnp.int64), axis=0)
+        onehot_cum = scan.cumsum(
+            jax.nn.one_hot(ds, n_dev, dtype=jnp.int64))
         within = onehot_cum[jnp.arange(ks.shape[0]), ds] - 1
         slot = ds * cap + jnp.minimum(within, cap - 1)
         buck_k = jnp.full((n_dev * cap,), key_hi, dtype=k.dtype)

@@ -30,6 +30,8 @@ import jax
 from .. import jaxcfg  # noqa: F401  (x64 + persistent compilation cache)
 
 import jax.numpy as jnp
+
+from ..engine import scan
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -42,7 +44,7 @@ def _run_reduce(keys, vals_list, ops, n_out):
     order = jnp.argsort(keys)
     ks = keys[order]
     head = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    run_id = jnp.cumsum(head.astype(jnp.int64)) - 1
+    run_id = scan.cumsum_flags(head) - 1
     run_ok = jnp.where(ks < _SENT, run_id, n_out)
     outs = []
     import jax.ops
@@ -73,7 +75,7 @@ def shard_shuffle_combine(keys, vals, ops, shard_rows, n_dev, per_owner,
     vs = [v[order] for v in lvals]
     onehot = jax.nn.one_hot(jnp.clip(ds, 0, n_dev - 1), n_dev,
                             dtype=jnp.int64)
-    within = (jnp.cumsum(onehot, axis=0)
+    within = (scan.cumsum(onehot)
               [jnp.arange(ks.shape[0]), jnp.clip(ds, 0, n_dev - 1)] - 1)
     overflow = jnp.sum((within >= cap) & (ds < n_dev))
     slot = jnp.where(ds < n_dev, ds * cap + jnp.minimum(within, cap - 1),

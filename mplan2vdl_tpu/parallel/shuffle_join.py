@@ -43,6 +43,8 @@ import jax
 from .. import jaxcfg  # noqa: F401  (x64 + persistent compilation cache)
 
 import jax.numpy as jnp
+
+from ..engine import scan
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -105,7 +107,7 @@ def _bucket(dest, n_dev, cap, arrays, fills):
     ds = dest[order]
     onehot = jax.nn.one_hot(jnp.clip(ds, 0, n_dev - 1), n_dev,
                             dtype=jnp.int64)
-    within = (jnp.cumsum(onehot, axis=0)
+    within = (scan.cumsum(onehot)
               [jnp.arange(n), jnp.clip(ds, 0, n_dev - 1)] - 1)
     overflow = jnp.sum((within >= cap) & (ds < n_dev))
     slot = jnp.where(ds < n_dev, ds * cap + jnp.minimum(within, cap - 1),
@@ -185,7 +187,7 @@ def shard_heavy_detect(lkeys, rkeys, n_dev, H=16, min_cnt=64,
         n = s.shape[0]
         start = jnp.concatenate(
             [jnp.ones((1,), bool), s[1:] != s[:-1]])
-        rid = jnp.cumsum(start.astype(jnp.int64)) - 1
+        rid = scan.cumsum_flags(start) - 1
         per_run = jnp.zeros((n,), jnp.int32).at[rid].add(1)
         cnt = jnp.where(start & (s < sent), per_run[rid], 0)
         _, pos = lax.top_k(cnt, min(H, n))
@@ -236,7 +238,7 @@ def shard_heavy_detect(lkeys, rkeys, n_dev, H=16, min_cnt=64,
 def _extract_heavy(keys, payloads, hmask, cap_hb, sent):
     """Compact this shard's heavy build rows into a (cap_hb,) buffer
     (exact-capacity, overflow counted for the retry contract)."""
-    pos = jnp.cumsum(hmask.astype(jnp.int64)) - 1
+    pos = scan.cumsum_flags(hmask) - 1
     slot = jnp.where(hmask, jnp.minimum(pos, cap_hb - 1), cap_hb)
     ovr = jnp.maximum(jnp.sum(hmask.astype(jnp.int64)) - cap_hb, 0)
     outs = []
@@ -262,7 +264,7 @@ def _heavy_local_match(lkeys, lheavy, hb_keys, hb_pays, cap_hp):
         hi = jnp.searchsorted(hbs, lkh, side="right")
     cnt_h = (hi - lo).astype(jnp.int64)  # sentinel probes count 0
     nl = lkeys.shape[0]
-    cum = jnp.cumsum(cnt_h)
+    cum = scan.cumsum(cnt_h)
     total = cum[-1] if nl else jnp.int64(0)
     k = jnp.arange(cap_hp, dtype=jnp.int64)
     if mergesearch.use_merge(cap_hp):
@@ -506,7 +508,7 @@ def _exchange_match(lkeys, rkeys, rpayloads, *, key_lo, key_hi, n_dev,
 
     # ---- expand pairs per SOURCE shard (each row block returns home)
     def expand_block(cnt_s, lo_s):
-        cum = jnp.cumsum(cnt_s)
+        cum = scan.cumsum(cnt_s)
         total = cum[-1]
         k = jnp.arange(cap_pairs, dtype=jnp.int64)
         if mergesearch.use_merge(cap_pairs):

@@ -122,3 +122,47 @@ def test_host_counting_matches_device_counting(setup, monkeypatch):
     monkeypatch.setattr(lower.jax, "default_backend",
                         orig_default_backend)  # restore for the run
     assert canon(hc().columns) == want
+
+
+def test_fold_input_compaction(monkeypatch):
+    """Selective masked sparse folds sort only the survivors: the
+    counting pre-pass resolves the (groups, mask) valid-row count,
+    rides the sizes record, and the compiled program's group sort runs
+    at the compacted length (Q15's date filter keeps ~4% of lineitem;
+    the suppkey group-by must not sort 1.5M rows)."""
+    import re
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import mplan2vdl_tpu.engine.lower as L
+    from mplan2vdl_tpu.engine import datagen
+
+    monkeypatch.setenv("MPLAN2VDL_SIZE_CACHE", "0")
+    store = datagen.generate(sf=0.02, seed=3)
+    cfg = store.make_catalog()
+    with open("/root/reference/tests/tpch10noorder/15.sql.mplan") as f:
+        text = f.read()
+    cq = L.compile_plan_text(text, cfg, store)
+    assert cq.fold_counts, "no fold count resolved on Q15"
+    n_li = store.table_count(("lineitem",))
+    fc = max(cq.fold_counts.values())
+    assert fc < n_li / 4, (fc, n_li)
+    hlo = cq._jitted.lower(cq.device_args()).compile().as_text()
+    sizes = [int(m.group(1))
+             for m in re.finditer(r"s32\[(\d+)\][^\n]*? sort\(", hlo)]
+    pad = -(-fc // L.BLOCK_PAD) * L.BLOCK_PAD
+    assert pad in sizes, (fc, pad, sorted(set(sizes), reverse=True)[:5])
+
+    # counts ride the sizes record: a preset-built query matches rows
+    rec = cq.sizes_record()
+    assert any(e[0] == "fold" for e in rec)
+    got = cq()
+    cq2 = L.CompiledQuery(cfg, L.plan_to_vexps(text, cfg, True, False),
+                          store, preset_sizes=rec)
+    assert cq2.fold_counts == cq.fold_counts
+    got2 = cq2()
+    for a, b in zip(got.columns, got2.columns):
+        np.testing.assert_array_equal(a, b)

@@ -195,6 +195,30 @@ def main():
     run_probe("reshape_stack_dot", k_flat, (R3, G), want10,
               jnp.asarray(vals3_np), jnp.asarray(gid_np))
 
+    # --- patterns for a flatter sorted-gather inner loop --------------
+    # 11. take_along_axis across a WIDE (1024-lane) axis: one vector
+    #     gather instead of the kernel's 8-row broadcast+mask unroll
+    src_np = rng.integers(0, 1 << 20, (8, 128)).astype(np.int32)
+    idx_np = rng.integers(0, 1024, (8, 128)).astype(np.int32)
+    flat = src_np.reshape(-1)
+    want11 = flat[idx_np]
+
+    def k_wide_taa(s_ref, i_ref, o_ref):
+        wide = s_ref[...].reshape(1, 1024)
+        wide8 = jnp.broadcast_to(wide, (8, 1024))
+        o_ref[...] = jnp.take_along_axis(wide8, i_ref[...], axis=1)
+
+    run_probe("take_along_axis_wide1024", k_wide_taa, (8, 128), want11,
+              jnp.asarray(src_np), jnp.asarray(idx_np))
+
+    # 12. same through jnp.take of a flattened (1, N) source
+    def k_take_flat(s_ref, i_ref, o_ref):
+        wide = s_ref[...].reshape(1, 1024)[0]
+        o_ref[...] = jnp.take(wide, i_ref[...], axis=0)
+
+    run_probe("take_flat_vector", k_take_flat, (8, 128), want11,
+              jnp.asarray(src_np), jnp.asarray(idx_np))
+
 
 if __name__ == "__main__":
     main()
