@@ -55,6 +55,7 @@ import jax
 from ... import jaxcfg  # noqa: F401  (x64 + persistent compilation cache)
 
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 
 LIMB_BITS = 16
@@ -139,16 +140,35 @@ def _row_layout(specs, n_groups):
     return table, max_start, total
 
 
-def _kernel(specs, n_groups, n_rows, max_start, renorm_every, *refs):
+def _kernel(specs, n_groups, n_rows, max_start, renorm_every, n_valid,
+            block, *refs):
     cols_refs, out_ref = refs[:-1], refs[-1]
     step = pl.program_id(0)
+    sub = block // LANES
 
     @pl.when(step == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    cols = [r[...] for r in cols_refs[:-1]]
-    gid = cols_refs[-1][...]  # int32; masked-out rows are < 0
+    def tile(r):
+        x = r[...]
+        # flat (no-pad) path: 1-D blocks reshape to the (sub, LANES)
+        # tile in-register (row-major view, no relayout)
+        return x.reshape(sub, LANES) if x.ndim == 1 else x
+
+    cols = [tile(r) for r in cols_refs[:-1]]
+    gid = tile(cols_refs[-1])  # int32; masked-out rows are < 0
+    if n_valid:
+        # non-divisible input: the LAST grid block reads past the array
+        # (Pallas pads block reads with garbage) — force those rows'
+        # group id negative so every sel mask / max excludes them.
+        # Saves the caller a full pad-copy of every input column
+        # (5 x n x 4B of pure HBM traffic at Q1's SF10 shape).
+        row = (step * jnp.int32(block)
+               + lax.broadcasted_iota(jnp.int32, (sub, LANES), 0)
+               * jnp.int32(LANES)
+               + lax.broadcasted_iota(jnp.int32, (sub, LANES), 1))
+        gid = jnp.where(row < jnp.int32(n_valid), gid, jnp.int32(-1))
 
     per_agg = []
     for spec in specs:
@@ -242,25 +262,39 @@ def fused_group_aggregate(cols: Sequence[jax.Array], gid: jax.Array,
     faster until VMEM pressure, measured on v5e in BENCH_OPS.md.
     """
     n = cols[0].shape[0]
-    assert n % block == 0, n
     sub_rows = block // LANES
-    shaped = [c.reshape(-1, LANES) for c in list(cols) + [gid]]
     table, max_start, n_rows = _row_layout(specs, n_groups)
 
     # lane acc grows by < sub_rows * 2^16 per block; renorm often enough
     # that it stays < 2^30 (power of 2 so the kernel can AND-test)
     renorm_every = 1 << max(0, (30 - LIMB_BITS - sub_rows.bit_length()))
 
+    if n % block == 0:
+        # divisible input: classic 2-D tiled blocks
+        shaped = [c.reshape(-1, LANES) for c in list(cols) + [gid]]
+        in_specs = [pl.BlockSpec((sub_rows, LANES),
+                                 lambda i: (i, jnp.int32(0)))
+                    for _ in shaped]
+        grid, n_valid = n // block, 0
+    else:
+        # NO-PAD path: 1-D blocks straight over the raw columns — the
+        # caller's pad-to-block concatenates were the top-traffic ops of
+        # the whole fused Q1 program (5 full column copies; ~4GB at
+        # SF10).  The last block reads past the array; the kernel masks
+        # those rows via n_valid.
+        shaped = list(cols) + [gid]
+        in_specs = [pl.BlockSpec((block,), lambda i: (i,))
+                    for _ in shaped]
+        grid, n_valid = -(-n // block), n
+
     kernel = partial(_kernel, tuple(specs), n_groups, n_rows, max_start,
-                     renorm_every)
+                     renorm_every, n_valid, block)
     out = pl.pallas_call(
         kernel,
-        grid=(n // block,),
+        grid=(grid,),
         # index maps return int32 literals: under x64 a bare 0 becomes an
         # i64 constant, which Mosaic refuses to lower
-        in_specs=[pl.BlockSpec((sub_rows, LANES),
-                               lambda i: (i, jnp.int32(0)))
-                  for _ in shaped],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((n_rows, LANES),
                                lambda i: (jnp.int32(0), jnp.int32(0))),
         out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),

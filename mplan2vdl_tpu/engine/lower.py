@@ -971,12 +971,9 @@ class Compiler:
                 arr = self.tables[nm]
                 assert len(arr) == n, (nm, len(arr), n)
                 cols.append(arr.astype(jnp.int32))
-            pad = -(-n // BLOCK) * BLOCK - n
-            if pad:
-                gid = jnp.concatenate(
-                    [gid, jnp.full((pad,), -1, jnp.int32)])
-                cols = [jnp.concatenate(
-                    [c, jnp.zeros((pad,), jnp.int32)]) for c in cols]
+            # no pad: the kernel's no-pad 1-D block path masks the tail
+            # (the pad concatenates were the fused program's top-traffic
+            # instructions — 5 full column copies, ~4GB at Q1 SF10)
             specs = list(fam.specs) + [AggSpec(base=None, bits=1)]
             out = fused_group_aggregate(
                 cols, gid, specs, fam.domain,

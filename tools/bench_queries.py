@@ -204,11 +204,11 @@ def _write(args, rows, n_li):
             f.write(f"\nChain-mode (host-chained dispatch; loop wrapper "
                     f"failed to compile): {', '.join(chained)}\n")
             f.write(
-                "\nThese are exactly the queries recorded FAILED "
-                "(JaxRuntimeError) in round 3: the fori_loop TIMING "
-                "wrapper around the query kills the tunneled compile "
-                "service, while the bare query program compiles and "
-                "runs row-exact — a measurement-harness limit, not an "
+                "\nChain-mode queries are the r3-FAILED class: their "
+                "fori_loop TIMING wrapper kills the tunneled compile "
+                "service (flakily — warm compile caches shrink the "
+                "set), while the bare query program compiles and runs "
+                "row-exact — a measurement-harness limit, not an "
                 "engine one (VERDICT r3 item 2 diagnosis).\n")
         if fails:
             f.write("\n## Failure diagnoses\n\n")
