@@ -756,10 +756,15 @@ class Compiler:
             # ids (perm_space = n) while every positional artifact lives
             # in the compacted space of length n_s.
             fkey = (fgroups.skey, fmask.skey if fmask is not None else None)
-            fc = self.fold_counts.get(fkey)
+            fc, mono = self.fold_counts.get(fkey, (None, False))
             n_s = n
             if fc is not None and fc * 4 <= n:
                 n_s = min(-(-max(fc, 1) // BLOCK_PAD) * BLOCK_PAD, n)
+            # pre-sorted skip (counting pass proved the masked-valid id
+            # sequence monotone — TPC-H clustering makes this common for
+            # orderkey/partkey group-bys): the sort AND the random
+            # permutation gather both disappear; perm stays ASCENDING,
+            # so downstream data gathers are monotone
             if n_s < n:
                 nvalid = jnp.sum(validmask.astype(jnp.int64))
                 sel = _sel_positions(validmask)[:n_s]
@@ -768,14 +773,22 @@ class Compiler:
                 ids_c = g.data[sel].astype(kdt)
                 validmask_s = (jnp.arange(n_s, dtype=jnp.int64) < nvalid)
                 ids_ok = jnp.where(validmask_s, ids_c, kdt(domain))
-                sorted_ids, perm_c = lax.sort(
-                    (ids_ok, jnp.arange(n_s, dtype=kdt)), num_keys=1)
-                perm = sel[jnp.clip(perm_c, 0, n_s - 1).astype(pdt)]
+                if mono:
+                    sorted_ids, perm = ids_ok, sel
+                else:
+                    sorted_ids, perm_c = lax.sort(
+                        (ids_ok, jnp.arange(n_s, dtype=kdt)), num_keys=1)
+                    perm = sel[jnp.clip(perm_c, 0, n_s - 1).astype(pdt)]
             else:
                 ids = g.data.astype(kdt)
                 ids_ok = jnp.where(validmask, ids, kdt(domain))
-                sorted_ids, perm = lax.sort((ids_ok, idx.astype(kdt)),
-                                            num_keys=1)
+                if mono and fmask is None:
+                    # no mask: validmask is a prefix, so the sentinel
+                    # tail keeps ids_ok sorted; perm is the identity
+                    sorted_ids, perm = ids_ok, idx.astype(kdt)
+                else:
+                    sorted_ids, perm = lax.sort((ids_ok, idx.astype(kdt)),
+                                                num_keys=1)
             sorted_valid = sorted_ids < domain
             prev = jnp.concatenate([sorted_ids[:1] - 1, sorted_ids[:-1]])
             head = sorted_ids != prev
@@ -1232,7 +1245,9 @@ class CompiledQuery:
                 vx = v.vx
                 fkey = (vx.fgroups.skey,
                         vx.fmask.skey if vx.fmask is not None else None)
-                rec.append(["fold", self.fold_counts.get(fkey)])
+                fc = self.fold_counts.get(fkey)
+                rec.append(["fold", None, 0] if fc is None
+                           else ["fold", fc[0], int(fc[1])])
             else:
                 vx = v.vx
                 rec.append(["join", self.join_sizes[(vx.lkeys.skey,
@@ -1309,7 +1324,8 @@ class CompiledQuery:
                     vx = v.vx
                     fkey = (vx.fgroups.skey,
                             vx.fmask.skey if vx.fmask is not None else None)
-                    self.fold_counts[fkey] = int(r[1])
+                    self.fold_counts[fkey] = (
+                        int(r[1]), bool(r[2]) if len(r) > 2 else False)
             else:
                 vx = v.vx
                 self.join_sizes[(vx.lkeys.skey, vx.rkeys.skey)] = int(r[1])
@@ -1375,8 +1391,19 @@ class CompiledQuery:
                     if vx.fmask is not None:
                         mv = c._force(c.eval(vx.fmask))
                         vm = vm & (mv.data[:nn] != 0)
-                    self.fold_counts[fkey] = max(
+                    cnt = max(
                         int(np.asarray(jnp.sum(vm.astype(jnp.int64)))), 1)
+                    # pre-sorted detection: TPC-H tables are clustered
+                    # by their leading key (l_orderkey, o_orderkey,
+                    # ps_partkey), so group ids often arrive already
+                    # sorted — the main trace can then skip BOTH the
+                    # group sort and the random permutation gather
+                    ga = np.asarray(gv.data[:nn])
+                    va = np.asarray(vm)
+                    sel_ids = ga[va]
+                    mono = bool(sel_ids.size == 0
+                                or np.all(np.diff(sel_ids) >= 0))
+                    self.fold_counts[fkey] = (cnt, mono)
                     continue
                 if kind == "fsel":
                     val = c.eval(v)
@@ -1448,12 +1475,13 @@ class CompiledQuery:
                     "CompiledQuery called with arrays of different shapes "
                     "than the store it was compiled against; rebuild with "
                     "compile_plan_text on the new store")
-            if self.span_fits and _sample_fp(args) != _sample_fp(ours):
+            if ((self.span_fits or self.fold_counts)
+                    and _sample_fp(args) != _sample_fp(ours)):
                 raise ValueError(
                     "CompiledQuery called with arrays whose contents differ "
                     "from the store it was compiled against; gather span-fit "
-                    "verdicts are baked per-store — rebuild with "
-                    "compile_plan_text on the new store")
+                    "and fold sortedness/count verdicts are baked per-store "
+                    "— rebuild with compile_plan_text on the new store")
         outs = self._jitted(args)
         cols, names, dts = [], [], []
         for v, (data, valid) in zip(self.vexps, outs):

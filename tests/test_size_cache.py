@@ -148,7 +148,7 @@ def test_fold_input_compaction(monkeypatch):
     cq = L.compile_plan_text(text, cfg, store)
     assert cq.fold_counts, "no fold count resolved on Q15"
     n_li = store.table_count(("lineitem",))
-    fc = max(cq.fold_counts.values())
+    fc = max(c for c, _ in cq.fold_counts.values())
     assert fc < n_li / 4, (fc, n_li)
     hlo = cq._jitted.lower(cq.device_args()).compile().as_text()
     sizes = [int(m.group(1))
