@@ -47,7 +47,9 @@ shapes disqualify the plan.
 All 22 TPC-H noorder queries distribute row-exactly under this algebra
 (tests/test_auto_dist.py).  Disqualified (single-chip fallback): plans
 with no aggregate stage, SortPerm inside the aggregate stage, sparse
-(> 2^20) domains mixing heterogeneous fold keys/masks or scatters/joins.
+(> 2^20) domains mixing heterogeneous fold keys/masks or scatters.
+Equijoins inside sparse group-bys DO distribute (r4): shard-local
+probes feed the sparse shuffle-aggregation exchange.
 """
 
 from __future__ import annotations
@@ -1101,7 +1103,14 @@ class AutoDistributed:
         if scatters and self.sparse:
             raise NotDistributable(
                 "fact-domain scatter in a sparse group-by")
-        if joins and self.sparse:
+        if joins and self.sparse and os.environ.get(
+                "MPLAN2VDL_NO_SPARSE_JOIN", "0") not in ("", "0"):
+            # r4: equijoins inside sparse group-bys compose with the
+            # shuffle-aggregation exchange (shard-local probes against
+            # the replicated right side feed locally pre-aggregated
+            # partials into the range-partitioned all_to_all) — all 22
+            # queries exact at SF0.4 where Q17's rowid-domain fold goes
+            # sparse with 6 joins under it.  Opt-out flag only.
             raise NotDistributable("equijoin in a sparse group-by")
         # Dynamic-cardinality sizing (two-phase) WITHOUT materializing the
         # full query on one chip (the distributed counting pre-pass):

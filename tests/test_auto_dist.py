@@ -231,3 +231,32 @@ def test_no_aggregate_reports_not_distributable(dist_setup):
     vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
     with pytest.raises(auto.NotDistributable):
         auto.distribute(cfg, store, vexps, mesh)
+
+
+def test_sparse_groupby_with_equijoins_distributes(dist_setup):
+    """r4: an equijoin inside a SPARSE (rowid-domain > 2^20) group-by
+    distributes through the shuffle-aggregation exchange instead of
+    falling back single-chip — Q17's avg-quantity self-join groups by
+    fact rowid.  Validated row-exact at a scale where the domain
+    actually crosses the sparse threshold."""
+    from mplan2vdl_tpu import passes
+    from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.engine.lower import CompiledQuery, plan_to_vexps
+    from mplan2vdl_tpu.parallel import auto
+
+    _, _, mesh = dist_setup
+    store = datagen.generate(sf=0.2, seed=13)
+    cfg = store.make_catalog()
+    with open(os.path.join(TPCH10, "17.sql.mplan")) as f:
+        text = f.read()
+    vexps = passes.engine_passes(plan_to_vexps(text, cfg, True, False))
+    dq = auto.distribute(cfg, store, vexps, mesh)
+    assert dq.sparse, f"domain {dq.domain} did not cross the sparse gate"
+    assert [x for fl in dq.folds for x in auto._joins_under(fl)]
+    dist_cols = dq()
+    single = CompiledQuery(cfg, vexps, store)()
+    got = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                       for _, _, c in dist_cols]))
+    want = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                        for c in single.columns]))
+    assert got == want
