@@ -231,6 +231,18 @@ def like_to_regex(pattern: str) -> "re.Pattern":
 
 BLOCK_PAD = 1024  # compacted fold-input lengths round up to this
 
+# dense-domain join: max key-domain width (int32 entries; 64M = 256MB
+# table, transient) and max build-side rows (the side that still sorts —
+# tiny, so the XLA scatter building the run tables stays O(0.5ms)).
+# MPLAN2VDL_NO_DENSE_JOIN=1 forces sort-merge everywhere (A/B +
+# bisection).
+DENSE_DOMAIN = 1 << 26
+DENSE_RIGHT_MAX = 1 << 16
+
+
+def _dense_join_on() -> bool:
+    return os.environ.get("MPLAN2VDL_NO_DENSE_JOIN", "0") in ("", "0")
+
 
 def _monotone_positions(v: V.Vexp) -> bool:
     """Positions known sorted ascending at trace time: selection
@@ -543,8 +555,20 @@ class Compiler:
 
     # ------------------------------------------------------------- equijoins
     def _join_artifacts(self, lkeys: V.Vexp, rkeys: V.Vexp) -> dict:
-        """Sort-merge join core, shared by every JoinIndex over one key pair:
-        sort the right keys, locate each left key's run by binary search."""
+        """Equijoin core, shared by every JoinIndex over one key pair.
+
+        Two strategies (BENCH_QUERIES.md r4 sort-bound attribution — the
+        tagged-merge co-sorts own ~2/3 of Q17/Q21's time):
+
+        * dense-domain (this round): when the right keys are UNIQUE over a
+          bounded int32 domain — verified eagerly by the counting pass,
+          never trusted from inference alone — scatter ``ridx+1`` into a
+          domain-length table once and resolve every probe with ONE gather
+          (streaming kernel for monotone probes, VMEM-table kernel for
+          small domains).  No sort at all; O(m) scatter + O(n) gather
+          replaces O((n+m) log(n+m)) tagged-merge passes.
+        * sort-merge (general): sort the right keys, locate each left
+          key's run via the tagged co-sort (mergesearch)."""
         key = (lkeys.skey, rkeys.skey)
         hit = self.join_cache.get(key)
         if hit is not None:
@@ -576,6 +600,11 @@ class Compiler:
         lidx = jnp.arange(n, dtype=kdt)
         l_ok = jnp.where(lidx < jnp.asarray(lv.valid, kdt),
                          lv.data.astype(kdt), SENT_L)
+        art = self._dense_join(key, lv, rv, l_ok, r_ok, ridx,
+                               klo, khi, use32, lkeys)
+        if art is not None:
+            self.join_cache[key] = art
+            return art
         if mergesearch.use_merge(n):
             lo, hi, sorg = mergesearch.merge_lo_hi(
                 r_ok, l_ok, key_hi=max(abs(klo), khi + 2) if use32 else None,
@@ -597,6 +626,76 @@ class Compiler:
                    total=total, lvalid=lv.valid)
         self.join_cache[key] = art
         return art
+
+    def _dense_join(self, key, lv, rv, l_ok, r_ok, ridx,
+                    klo: int, khi: int, use32: bool, lkeys: V.Vexp):
+        """Small-right dense-domain join artifacts, or None if ineligible.
+
+        When the build (right) side is small (<= DENSE_RIGHT_MAX rows)
+        and the key domain is a bounded int32 range, the tagged-merge
+        co-sorts over n+m elements — the measured 2/3 of Q17/Q21's time
+        (BENCH_QUERIES.md) — are unnecessary: sort ONLY the tiny right
+        side, scatter its run starts/lengths into two domain-indexed
+        tables (O(m), deterministic .at[].min/.add), and resolve every
+        probe with gathers through the fast kernels — the VMEM-resident
+        table for small domains, the streaming sorted-gather for
+        monotone probe keys (span fit resolved eagerly by the counting
+        pass, same ``span_fits`` contract as every other kernel site).
+        Duplicates on the right are handled natively (run lengths), so
+        no uniqueness inference is trusted.  The artifacts keep the
+        merge path's exact semantics: ``lo`` = first match position in
+        the SORTED right, ``rs_idx`` = the right sort permutation."""
+        from .kernels.sorted_gather import (SMALL_TABLE, resolve_fit,
+                                            small_table_gather,
+                                            sorted_gather)
+
+        n, m = lv.length, rv.length
+        D = int(khi) - int(klo) + 1
+        mono = self._monotone(lkeys)
+        small = D <= SMALL_TABLE
+        if not (_dense_join_on() and use32 and 0 < D <= DENSE_DOMAIN
+                and 1 <= m <= DENSE_RIGHT_MAX and (mono or small)):
+            return None
+        fitkey = ("dense_fit", key[0], key[1])
+        eager = not (isinstance(l_ok, jax.core.Tracer)
+                     or isinstance(r_ok, jax.core.Tracer))
+        lk = jnp.clip(l_ok.astype(jnp.int32)
+                      - jnp.asarray(klo, jnp.int32), 0, D - 1)
+        if not small:
+            if eager and fitkey not in self.span_fits:
+                self.span_fits[fitkey] = resolve_fit(D, lk, lv.valid)
+            fit = self.span_fits.get(fitkey)
+            if not fit:  # unresolved or spans exceed every window
+                return None
+        # sort the small right side; sentinel rows (invalid) sort last
+        rs, rs_idx = lax.sort((r_ok, ridx), num_keys=1)
+        pos = jnp.arange(m, dtype=jnp.int32)
+        slot = (rs - jnp.asarray(klo, rs.dtype)).astype(jnp.int32)
+        # sentinels map past D and drop; .min/.add are duplicate-safe
+        lo_tab = jnp.full((D,), m, jnp.int32).at[slot].min(
+            pos, mode="drop")
+        cnt_tab = jnp.zeros((D,), jnp.int32).at[slot].add(
+            jnp.int32(1), mode="drop")
+        if isinstance(lk, jax.core.Tracer) and _sorted_gather_on():
+            if small:
+                lo = small_table_gather(lo_tab, lk, lv.valid)
+                cg = small_table_gather(cnt_tab, lk, lv.valid)
+            else:
+                fit = self.span_fits.get(fitkey)
+                lo = sorted_gather(lo_tab, lk, lv.valid, static_fit=fit)
+                cg = sorted_gather(cnt_tab, lk, lv.valid, static_fit=fit)
+        else:
+            lo = lo_tab[lk]
+            cg = cnt_tab[lk]
+        lidx = jnp.arange(n, dtype=jnp.int64)
+        in_dom = ((l_ok >= jnp.asarray(klo, l_ok.dtype))
+                  & (l_ok <= jnp.asarray(khi, l_ok.dtype))
+                  & (lidx < jnp.asarray(lv.valid, jnp.int64)))
+        cnt = jnp.where(in_dom, cg, 0).astype(jnp.int64)
+        cum = scan.cumsum(cnt)
+        total = cum[-1] if n > 0 else jnp.int64(0)
+        return dict(n=n, m=m, rs_idx=rs_idx, lo=lo, cnt=cnt, cum=cum,
+                    total=total, lvalid=lv.valid)
 
     def _eval_join_index(self, v: V.Vexp, vx: V.JoinIndex) -> Val:
         art = self._join_artifacts(vx.lkeys, vx.rkeys)
@@ -1273,10 +1372,13 @@ class CompiledQuery:
                 return _enc_fit(self.span_fits.get(key))
 
             # join-internal sites (merged-order rs_idx gather + pair
-            # expansion), aligned over the join_key_pairs walk
+            # expansion + dense-domain verdicts), aligned over the
+            # join_key_pairs walk
             rec.append(["jfit",
                         [[enc(("j_rsidx", l.skey, r.skey)),
-                          enc(("j_exp", l.skey, r.skey))]
+                          enc(("j_exp", l.skey, r.skey)),
+                          enc(("dense_j", l.skey, r.skey)),
+                          enc(("dense_fit", l.skey, r.skey))]
                          for l, r in jps]])
         return rec
 
@@ -1309,13 +1411,23 @@ class CompiledQuery:
         if jfits is not None:
             jps = join_key_pairs(self.vexps)
             if len(jfits) == len(jps):
-                for (fr, fe), (l, r) in zip(jfits, jps):
+                for ent, (l, r) in zip(jfits, jps):
+                    fr, fe = ent[0], ent[1]
                     if fr is not None:
                         self.span_fits[("j_rsidx", l.skey, r.skey)] = \
                             _dec_fit(fr)
                     if fe is not None:
                         self.span_fits[("j_exp", l.skey, r.skey)] = \
                             _dec_fit(fe)
+                    # dense-domain join verdicts (r4; absent in older
+                    # 2-element records -> sort-merge, still correct)
+                    if len(ent) >= 4:
+                        if ent[2] is not None:
+                            self.span_fits[("dense_j", l.skey, r.skey)] = \
+                                bool(ent[2])
+                        if ent[3] is not None:
+                            self.span_fits[("dense_fit", l.skey,
+                                            r.skey)] = _dec_fit(ent[3])
         for r, (kind, v) in zip(rec, dyn):
             if kind == "fsel":
                 self.fsel_sizes[v.skey] = int(r[1])
