@@ -231,9 +231,10 @@ def like_to_regex(pattern: str) -> "re.Pattern":
 
 BLOCK_PAD = 1024  # compacted fold-input lengths round up to this
 
-# dense-domain join: max key-domain width (int32 entries; 64M = 256MB
-# table, transient) and max build-side rows (the side that still sorts —
-# tiny, so the XLA scatter building the run tables stays O(0.5ms)).
+# dense-domain join: max key-domain width (two D-length int32 run
+# tables, starts + lengths -> 2 x 256MB transient at the 64M cap) and
+# max build-side rows (the side that still sorts — tiny, so the XLA
+# scatter building the run tables stays O(0.5ms)).
 # MPLAN2VDL_NO_DENSE_JOIN=1 forces sort-merge everywhere (A/B +
 # bisection).
 DENSE_DOMAIN = 1 << 26
@@ -560,13 +561,15 @@ class Compiler:
         Two strategies (BENCH_QUERIES.md r4 sort-bound attribution — the
         tagged-merge co-sorts own ~2/3 of Q17/Q21's time):
 
-        * dense-domain (this round): when the right keys are UNIQUE over a
-          bounded int32 domain — verified eagerly by the counting pass,
-          never trusted from inference alone — scatter ``ridx+1`` into a
-          domain-length table once and resolve every probe with ONE gather
-          (streaming kernel for monotone probes, VMEM-table kernel for
-          small domains).  No sort at all; O(m) scatter + O(n) gather
-          replaces O((n+m) log(n+m)) tagged-merge passes.
+        * dense-domain (r4): when the build (right) side is SMALL
+          (<= DENSE_RIGHT_MAX rows) and the key domain is a bounded
+          int32 range, sort only the tiny right side and scatter its
+          run starts/lengths into two domain-length tables (duplicate
+          right keys are handled natively by the run lengths — no
+          uniqueness assumption); every probe then resolves with
+          gathers (VMEM-table kernel for small domains, streaming
+          sorted-gather for monotone probe keys).  The n+m co-sorts
+          disappear; see ``_dense_join``.
         * sort-merge (general): sort the right keys, locate each left
           key's run via the tagged co-sort (mergesearch)."""
         key = (lkeys.skey, rkeys.skey)
@@ -1372,12 +1375,11 @@ class CompiledQuery:
                 return _enc_fit(self.span_fits.get(key))
 
             # join-internal sites (merged-order rs_idx gather + pair
-            # expansion + dense-domain verdicts), aligned over the
+            # expansion + dense-domain fit), aligned over the
             # join_key_pairs walk
             rec.append(["jfit",
                         [[enc(("j_rsidx", l.skey, r.skey)),
                           enc(("j_exp", l.skey, r.skey)),
-                          enc(("dense_j", l.skey, r.skey)),
                           enc(("dense_fit", l.skey, r.skey))]
                          for l, r in jps]])
         return rec
@@ -1419,15 +1421,16 @@ class CompiledQuery:
                     if fe is not None:
                         self.span_fits[("j_exp", l.skey, r.skey)] = \
                             _dec_fit(fe)
-                    # dense-domain join verdicts (r4; absent in older
-                    # 2-element records -> sort-merge, still correct)
-                    if len(ent) >= 4:
-                        if ent[2] is not None:
-                            self.span_fits[("dense_j", l.skey, r.skey)] = \
-                                bool(ent[2])
-                        if ent[3] is not None:
-                            self.span_fits[("dense_fit", l.skey,
-                                            r.skey)] = _dec_fit(ent[3])
+                    # dense-domain fit verdict: element [2] in current
+                    # records; r4-era 4-element records carried a dead
+                    # never-written dense_j at [2] with the fit at [3];
+                    # 2-element records predate the dense path entirely
+                    # (sort-merge, still correct)
+                    df = (ent[3] if len(ent) >= 4
+                          else ent[2] if len(ent) == 3 else None)
+                    if df is not None:
+                        self.span_fits[("dense_fit", l.skey,
+                                        r.skey)] = _dec_fit(df)
         for r, (kind, v) in zip(rec, dyn):
             if kind == "fsel":
                 self.fsel_sizes[v.skey] = int(r[1])

@@ -51,8 +51,15 @@ def _run(store, cfg, q, monkeypatch, dense: bool):
     with open(os.path.join(TPCH10, f"{q}.sql.mplan")) as f:
         cq = lower.compile_plan_text(f.read(), cfg, store)
     res = cq()
-    rows = sorted(zip(*[np.asarray(c, np.int64).tolist()
-                        for c in res.columns])) if res.columns else []
+    # keep float columns as floats (rounded) — an int64 cast would hide
+    # sub-integer dense-vs-merge divergence in e.g. Q17's avg_yearly
+    def _vals(c):
+        a = np.asarray(c)
+        if np.issubdtype(a.dtype, np.floating):
+            return [round(float(x), 6) for x in a.tolist()]
+        return np.asarray(a, np.int64).tolist()
+    rows = sorted(zip(*[_vals(c) for c in res.columns])) \
+        if res.columns else []
     return rows, calls
 
 

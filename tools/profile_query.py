@@ -77,7 +77,14 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--keep", metavar="DIR", default=None,
                     help="keep the raw trace under DIR")
+    ap.add_argument("--env", metavar="KEY=VALUE", action="append",
+                    default=[],
+                    help="set an env var before compiling (repeatable; "
+                         "e.g. --env MPLAN2VDL_NO_DENSE_JOIN=1)")
     args = ap.parse_args()
+    for kv in args.env:
+        k, _, v = kv.partition("=")
+        os.environ[k] = v
     for q in args.queries.split(","):
         q = q.strip().zfill(2)
         outdir = args.keep or tempfile.mkdtemp(prefix=f"prof_q{q}_")
