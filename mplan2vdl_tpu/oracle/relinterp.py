@@ -75,6 +75,53 @@ class Interp:
         self.store = store
 
     # --------------------------------------------------------------- scalars
+    def _mask_of(self, frame: Frame, e: M.ScalarExpr):
+        """Validity vector (1 = present) of an expression, or None when it
+        can never be null — mirrors vir.sc's nullmask propagation rules
+        (boolean results coerce to false and drop the mask; arithmetic
+        combines operand masks)."""
+        if isinstance(e, M.MRef):
+            hit = [k for k in frame.nullmasks
+                   if k[-len(e.name):] == e.name]
+            return frame.nullmasks[hit[0]] if hit else None
+        if isinstance(e, M.MCast):
+            return self._mask_of(frame, e.arg)
+        if isinstance(e, M.MUnary):
+            if e.unop in (M.YEAR, M.NEG):
+                return self._mask_of(frame, e.arg)
+            return None  # ISNULL itself is never null
+        if isinstance(e, M.MBinop):
+            if e.binop in (M.GT, M.LT, M.GEQ, M.LEQ, M.EQ, M.NEQ,
+                           M.LOGAND, M.LOGOR):
+                return None
+            a = self._mask_of(frame, e.left)
+            b = self._mask_of(frame, e.right)
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return a * b
+        if isinstance(e, M.MIfThenElse):
+            mt = self._mask_of(frame, e.then_)
+            mf = self._mask_of(frame, e.else_)
+            if mt is None and mf is None:
+                return None
+            c = self.scalar(frame, e.if_) != 0
+            one = np.ones(frame.n, dtype=np.int64)
+            return np.where(c, one if mt is None else mt,
+                            one if mf is None else mf)
+        if isinstance(e, M.MSubstring):
+            return self._mask_of(frame, e.arg)
+        return None
+
+    def _combined_mask(self, frame: Frame, *exprs):
+        m = None
+        for e in exprs:
+            em = self._mask_of(frame, e)
+            if em is not None:
+                m = em if m is None else m * em
+        return m
+
     def scalar(self, frame: Frame, e: M.ScalarExpr) -> np.ndarray:
         n = frame.n
         if isinstance(e, M.MRef):
@@ -107,77 +154,30 @@ class Interp:
                 d = self.scalar(frame, e.arg)
                 return tdiv(d * 1000 + 1100, 365243)
             if e.unop == M.NEG:
-                return 1 - self.scalar(frame, e.arg)
+                val = 1 - self.scalar(frame, e.arg)
+                m = self._mask_of(frame, e.arg)
+                return val * m if m is not None else val
             if e.unop == M.ISNULL:
-                return np.zeros(n, dtype=np.int64)
+                m = self._mask_of(frame, e.arg)
+                return (1 - m if m is not None
+                        else np.zeros(n, dtype=np.int64))
             raise ValueError(e.unop)
         if isinstance(e, M.MBinop):
             a = self.scalar(frame, e.left).astype(np.int64)
             b = self.scalar(frame, e.right).astype(np.int64)
-            op = e.binop
-            if op == M.ADD:
-                return a + b
-            if op == M.SUB:
-                return a - b
-            if op == M.MUL:
-                return a * b
-            if op == M.DIV:
-                return tdiv(a, b)
-            if op == M.MOD:
-                return np.sign(a) * (np.abs(a) % np.abs(np.where(b == 0, 1, b)))
-            if op == M.MIN:
-                return np.minimum(a, b)
-            if op == M.MAX:
-                return np.maximum(a, b)
-            if op == M.GT:
-                return (a > b).astype(np.int64)
-            if op == M.LT:
-                return (a < b).astype(np.int64)
-            if op == M.GEQ:
-                return (a >= b).astype(np.int64)
-            if op == M.LEQ:
-                return (a <= b).astype(np.int64)
-            if op == M.EQ:
-                return (a == b).astype(np.int64)
-            if op == M.NEQ:
-                return (a != b).astype(np.int64)
-            if op == M.LOGAND:
-                return ((a != 0) & (b != 0)).astype(np.int64)
-            if op == M.LOGOR:
-                return ((a != 0) | (b != 0)).astype(np.int64)
-            if op == M.BITAND:
-                return a & b
-            if op == M.BITOR:
-                return a | b
-            if op == M.BITSHIFT:
-                return np.where(b < 0, a << np.minimum(-b, 63),
-                                a >> np.minimum(b, 63))
-            raise ValueError(op)
+            m = self._combined_mask(frame, e.left, e.right)
+            val = self._binop_val(e.binop, a, b)
+            # SQL null propagation, vir.sc mirror: value slots coerce
+            # to 0 (booleans read as false)
+            return val * m if m is not None else val
         if isinstance(e, M.MIfThenElse):
             c = self.scalar(frame, e.if_)
-            return np.where(c != 0, self.scalar(frame, e.then_),
-                            self.scalar(frame, e.else_))
+            val = np.where(c != 0, self.scalar(frame, e.then_),
+                           self.scalar(frame, e.else_))
+            m = self._mask_of(frame, e)
+            return val * m if m is not None else val
         if isinstance(e, M.MIn):
-            a = self.scalar(frame, e.left)
-
-            def unlit(x):
-                while isinstance(x, M.MCast):
-                    x = x.arg
-                return x if isinstance(x, M.MLiteral) else None
-
-            lits = [unlit(x) for x in e.set]
-            if (isinstance(e.left, M.MSubstring)
-                    and all(x is not None and x.raw is not None
-                            for x in lits)):
-                _, codes = self._substring_dicts(frame, e.left)
-                out = np.zeros(frame.n, dtype=bool)
-                for x in lits:
-                    out |= a == codes.get(x.raw, -1)
-                return out.astype(np.int64)
-            out = np.zeros(frame.n, dtype=bool)
-            for x in e.set:
-                out |= a == self.scalar(frame, x)
-            return out.astype(np.int64)
+            return self._in_val(frame, e)
         if isinstance(e, M.MSubstring):
             mapping, _ = self._substring_dicts(frame, e)
             vals = self.scalar(frame, e.arg).astype(np.int64)
@@ -195,8 +195,74 @@ class Interp:
             rx = like_to_regex(e.pattern)
             ok = np.array(sorted(c for c, s in dec.items() if rx.match(s)),
                           dtype=np.int64)
-            return np.isin(vals, ok).astype(np.int64)
+            val = np.isin(vals, ok).astype(np.int64)
+            m = self._mask_of(frame, e.ldata)
+            return val * m if m is not None else val
         raise ValueError(f"oracle cannot evaluate {e}")
+
+    def _binop_val(self, op, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        if op == M.ADD:
+            return a + b
+        if op == M.SUB:
+            return a - b
+        if op == M.MUL:
+            return a * b
+        if op == M.DIV:
+            return tdiv(a, b)
+        if op == M.MOD:
+            return np.sign(a) * (np.abs(a) % np.abs(np.where(b == 0, 1, b)))
+        if op == M.MIN:
+            return np.minimum(a, b)
+        if op == M.MAX:
+            return np.maximum(a, b)
+        if op == M.GT:
+            return (a > b).astype(np.int64)
+        if op == M.LT:
+            return (a < b).astype(np.int64)
+        if op == M.GEQ:
+            return (a >= b).astype(np.int64)
+        if op == M.LEQ:
+            return (a <= b).astype(np.int64)
+        if op == M.EQ:
+            return (a == b).astype(np.int64)
+        if op == M.NEQ:
+            return (a != b).astype(np.int64)
+        if op == M.LOGAND:
+            return ((a != 0) & (b != 0)).astype(np.int64)
+        if op == M.LOGOR:
+            return ((a != 0) | (b != 0)).astype(np.int64)
+        if op == M.BITAND:
+            return a & b
+        if op == M.BITOR:
+            return a | b
+        if op == M.BITSHIFT:
+            return np.where(b < 0, a << np.minimum(-b, 63),
+                            a >> np.minimum(b, 63))
+        raise ValueError(op)
+
+    def _in_val(self, frame: Frame, e: "M.MIn") -> np.ndarray:
+        a = self.scalar(frame, e.left)
+
+        def unlit(x):
+            while isinstance(x, M.MCast):
+                x = x.arg
+            return x if isinstance(x, M.MLiteral) else None
+
+        lits = [unlit(x) for x in e.set]
+        if (isinstance(e.left, M.MSubstring)
+                and all(x is not None and x.raw is not None
+                        for x in lits)):
+            _, codes = self._substring_dicts(frame, e.left)
+            out = np.zeros(frame.n, dtype=bool)
+            for x in lits:
+                out |= a == codes.get(x.raw, -1)
+        else:
+            out = np.zeros(frame.n, dtype=bool)
+            for x in e.set:
+                out |= a == self.scalar(frame, x)
+        val = out.astype(np.int64)
+        m = self._mask_of(frame, e.left)
+        return val * m if m is not None else val  # NULL IN (...) is false
 
     def _substring_dicts(self, frame: Frame, e: "M.MSubstring"):
         """(source code -> derived code, derived string -> code), derived the
@@ -433,28 +499,48 @@ class Interp:
                 nm = alias
             elif isinstance(agg, M.GAvg):
                 v, dt = self.scalar_dt(scope_frame, agg.expr)
+                mk = self._mask_of(scope_frame, agg.expr)
                 s = np.zeros(ng, dtype=np.int64)
                 np.add.at(s, inv, v.astype(np.int64))
-                c = np.bincount(inv, minlength=ng)
+                if mk is not None:
+                    # null-aware avg: count NON-null rows (vir mirror)
+                    c = np.zeros(ng, dtype=np.int64)
+                    np.add.at(c, inv, mk.astype(np.int64))
+                else:
+                    c = np.bincount(inv, minlength=ng)
                 val = tdiv(s, np.maximum(c, 1))
+                if mk is not None:
+                    val = np.where(c > 0, val, 0)  # all-null group -> 0
                 nm = alias
             else:
                 assert isinstance(agg, M.GFold)
                 v, dt = self.scalar_dt(scope_frame, agg.expr)
                 v = v.astype(np.int64)
+                mk = (self._mask_of(scope_frame, agg.expr)
+                      if agg.op in (M.FSUM, M.FMAX, M.FMIN) else None)
+                sel = (np.ones(len(v), dtype=bool) if mk is None
+                       else mk.astype(bool))
                 if agg.op == M.FSUM:
+                    # null slots are 0-coerced, so the plain sum is
+                    # already null-aware
                     val = np.zeros(ng, dtype=np.int64)
                     np.add.at(val, inv, v)
                 elif agg.op == M.FMAX:
                     val = np.full(ng, np.iinfo(np.int64).min)
-                    np.maximum.at(val, inv, v)
+                    np.maximum.at(val, inv[sel], v[sel])
                 elif agg.op == M.FMIN:
                     val = np.full(ng, np.iinfo(np.int64).max)
-                    np.minimum.at(val, inv, v)
+                    np.minimum.at(val, inv[sel], v[sel])
                 else:  # FCHOOSE: any representative
                     val = np.zeros(ng, dtype=np.int64)
                     # last occurrence wins; all values equal within a group
                     val[inv] = v
+                if mk is not None:
+                    # groups whose rows are all null read 0 (the
+                    # framework-wide NULL-encodes-as-0 convention)
+                    cc = np.zeros(ng, dtype=np.int64)
+                    np.add.at(cc, inv, mk.astype(np.int64))
+                    val = np.where(cc > 0, val, 0)
                 nm = alias
                 if (nm is None and agg.op == M.FCHOOSE
                         and isinstance(agg.expr, M.MRef)):

@@ -851,8 +851,33 @@ def _solve_project(cfg: Config, r: M.RProject) -> List[Vexp]:
 
 
 # ----------------------------------------------------------------- scalar -> V
+# Binops whose result is boolean: under SQL three-valued logic a NULL
+# comparison reads as FALSE in filter position, so the result's value is
+# coerced to 0 in null slots and no nullmask is attached.
+_BOOL_BINOPS = frozenset({M.GT, M.LT, M.GEQ, M.LEQ, M.EQ, M.NEQ,
+                          M.LOGAND, M.LOGOR})
+
+
+def _mask_and(a: Optional[Vexp], b: Optional[Vexp]) -> Optional[Vexp]:
+    """Combine operand nullmasks: null iff any operand is null."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if a is b or a.skey == b.skey:
+        return a
+    return mul_(a, b)
+
+
 def sc(env: Env, e: M.ScalarExpr) -> Vexp:
-    """Vlite.hs:924-1020."""
+    """Vlite.hs:924-1020.
+
+    Null propagation (extension — the reference punts on nulls,
+    src/notes.txt:60-63): every Vexp may carry a ``nullmask`` validity
+    vector (1 = value present).  The framework-wide encoding is *value 0
+    in null slots*; arithmetic over nullable operands multiplies by the
+    combined mask to preserve it and carries the mask forward, boolean
+    results coerce to 0 (SQL WHERE reads NULL as false) and drop it."""
     if isinstance(e, M.MRef):
         return env.lookup(e.name)
 
@@ -873,11 +898,24 @@ def sc(env: Env, e: M.ScalarExpr) -> Vexp:
                 out = mul_(v, const_(factor, v))
             else:
                 out = div_(v, const_(factor, v))
-        return out.with_(info=dataclasses.replace(out.info, stype=out_stype,
-                                                  dtype=out_dt))
+        ret = out.with_(info=dataclasses.replace(out.info, stype=out_stype,
+                                                 dtype=out_dt))
+        if v.nullmask is not None:
+            # scale factors multiply/divide the 0-coerced null slots, so
+            # the value encoding survives the cast unchanged
+            ret = ret.with_(nullmask=v.nullmask)
+        return ret
 
     if isinstance(e, M.MBinop):
-        return binop(e.binop, sc(env, e.left), sc(env, e.right))
+        l = sc(env, e.left)
+        r = sc(env, e.right)
+        res = binop(e.binop, l, r)
+        m = _mask_and(l.nullmask, r.nullmask)
+        if m is not None:
+            res = mul_(res, m)
+            if e.binop not in _BOOL_BINOPS:
+                res = res.with_(nullmask=m)
+        return res
 
     if isinstance(e, M.MIn):
         left = sc(env, e.left)
@@ -901,6 +939,8 @@ def sc(env: Env, e: M.ScalarExpr) -> Vexp:
         acc = eqs[0]
         for x in eqs[1:]:
             acc = or_(acc, x)
+        if left.nullmask is not None:
+            acc = mul_(acc, left.nullmask)  # NULL IN (...) reads false
         return acc
 
     if isinstance(e, M.MLiteral):
@@ -914,8 +954,12 @@ def sc(env: Env, e: M.ScalarExpr) -> Vexp:
         # ((days*1000)+1100)/365243 — deliberately approximate, valid
         # 1992-1997 (Vlite.hs:988-994); reproduced bit-for-bit.
         d = sc(env, e.arg)
-        return div_(add_(mul_(d, const_(1000, d)), const_(1100, d)),
-                    const_(365243, d))
+        res = div_(add_(mul_(d, const_(1000, d)), const_(1100, d)),
+                   const_(365243, d))
+        if d.nullmask is not None:
+            # null slot: (0*1000+1100)/365243 == 0, encoding preserved
+            res = res.with_(nullmask=d.nullmask)
+        return res
 
     if isinstance(e, M.MIfThenElse):
         # isnull elision (Vlite.hs:996-1000)
@@ -923,14 +967,27 @@ def sc(env: Env, e: M.ScalarExpr) -> Vexp:
                 and isinstance(e.then_, M.MLiteral) and e.then_.rep == 0
                 and e.if_.arg == e.else_):
             return sc(env, e.else_)
-        return if_then_else(sc(env, e.if_), sc(env, e.then_),
-                            sc(env, e.else_))
+        c = sc(env, e.if_)
+        t = sc(env, e.then_)
+        el = sc(env, e.else_)
+        res = if_then_else(c, t, el)
+        # a NULL condition coerces to 0 and picks the else branch (SQL
+        # CASE); nullability of the result follows the chosen branch
+        if t.nullmask is not None or el.nullmask is not None:
+            mt = t.nullmask if t.nullmask is not None else ones_(c)
+            mf = el.nullmask if el.nullmask is not None else ones_(c)
+            m = if_then_else(c, mt, mf)
+            res = mul_(res, m).with_(nullmask=m)
+        return res
 
     if isinstance(e, M.MLike):
         v = sc(env, e.ldata)
         if v.lineage is None:
             raise VirError("LIKE requires lineage to locate the dictionary")
-        return complete(Like(ldata=v, lpattern=e.pattern, lcol=v.lineage.col))
+        res = complete(Like(ldata=v, lpattern=e.pattern, lcol=v.lineage.col))
+        if v.nullmask is not None:
+            res = mul_(res, v.nullmask)  # NULL LIKE p reads false
+        return res
 
     if isinstance(e, M.MSubstring):
         v = sc(env, e.arg)
@@ -952,12 +1009,27 @@ def sc(env: Env, e: M.ScalarExpr) -> Vexp:
                                for st, code in dic.items()))
         derived = tuple((i, st) for st, i in sorted(newcode.items(),
                                                     key=lambda kv: kv[1]))
-        return complete(DictMap(ldata=v, lcol=lcol, mapping=mapping,
-                                derived=derived))
+        res = complete(DictMap(ldata=v, lcol=lcol, mapping=mapping,
+                               derived=derived))
+        if v.nullmask is not None:
+            # derived codes in null slots are garbage; every consumer is
+            # a comparison, which the mask coerces to false
+            res = res.with_(nullmask=v.nullmask)
+        return res
 
     if isinstance(e, M.MUnary) and e.unop == M.NEG:
         v = sc(env, e.arg)
-        return sub_(ones_(v), v)
+        res = sub_(ones_(v), v)
+        if v.nullmask is not None:
+            # NOT NULL is NULL: coerce to 0 (false) and keep the mask
+            res = mul_(res, v.nullmask).with_(nullmask=v.nullmask)
+        return res
+
+    if isinstance(e, M.MUnary) and e.unop == M.ISNULL:
+        v = sc(env, e.arg)
+        if v.nullmask is not None:
+            return sub_(ones_(v.nullmask), v.nullmask)
+        return zeros_(v)  # non-nullable: never null
 
     raise VirError(f"unhandled scalar expression: {e}")
 
@@ -1052,6 +1124,18 @@ def solve_agg(cfg: Config, env: Env, after_env: Env, gkey: Vexp,
               agg: M.GroupAgg) -> Vexp:
     """Vlite.hs:1033-1070 under the id-based Fold semantics."""
     if isinstance(agg, M.GAvg):
+        probe = sc(env, agg.expr)
+        if probe.nullmask is not None:
+            # null-aware avg (SQL: nulls are skipped): sum of the
+            # 0-coerced values over count of NON-null rows; an all-null
+            # group reads 0 with its own nullmask (the framework's
+            # NULL-encodes-as-0 output convention)
+            ids = _group_ids(gkey)
+            gsums = _strategy_fold(cfg, FSUM, ids, probe)
+            gcounts = _strategy_fold(cfg, FSUM, ids, probe.nullmask)
+            nz = gt_(gcounts, zeros_(gcounts))
+            safe = binop(M.MAX, gcounts, ones_(gcounts))
+            return mul_(div_(gsums, safe), nz).with_(nullmask=nz)
         gsums = solve_agg(cfg, env, after_env, gkey, M.GFold(M.FSUM, agg.expr))
         gcounts = solve_agg(cfg, env, after_env, gkey, M.GCount())
         return div_(gsums, gcounts)
@@ -1081,6 +1165,26 @@ def solve_agg(cfg: Config, env: Env, after_env: Env, gkey: Vexp,
     fop = {M.FSUM: FSUM, M.FMAX: FMAX, M.FMIN: FMIN, M.FCHOOSE: FCHOOSE}[agg.op]
     gdata = sc(env, agg.expr)
     ids = _group_ids(gkey)
+    if gdata.nullmask is not None and fop in (FSUM, FMIN, FMAX):
+        # null-aware fold (SQL: nulls are skipped).  Neutral-value
+        # substitution instead of a Fold fmask so the occupied-group
+        # slot set — and therefore alignment with sibling folds on the
+        # same key — never changes: min substitutes the column's upper
+        # bound, max its lower bound (no bound widening), sum keeps the
+        # 0-coerced values.  All-null groups read 0 (output convention)
+        # with their own nullmask.
+        m = gdata.nullmask
+        if fop == FSUM:
+            gd = gdata
+        else:
+            lo, hi = gdata.info.bounds
+            neutral = typedconst_(hi if fop == FMIN else lo, gdata,
+                                  gdata.info.dtype)
+            gd = if_then_else(m, gdata, neutral)
+        res = _strategy_fold(cfg, fop, ids, gd)
+        cnt = _strategy_fold(cfg, FSUM, ids, m)
+        nz = gt_(cnt, zeros_(cnt))
+        return mul_(res, nz).with_(nullmask=nz)
     return _strategy_fold(cfg, fop, ids, gdata)
 
 
@@ -1582,7 +1686,36 @@ def _solve_equi_join(cfg: Config, r: M.RJoin, sleft: Env,
         rcols = [mul_(g, valid).with_(name=g.name, nullmask=valid)
                  for g in gather_all(sright.cols, ri)]
         if others:
-            raise VirError("left outer join with non-equality conditions")
+            # pair-level extra ON conditions (extension; the reference has
+            # no outer join at all, Vlite.hs:1223-1225).  The outer pair
+            # stream lays out matched pairs first — grouped by left row,
+            # left index non-decreasing — then one null row per
+            # eq-unmatched left row (engine JOUTER layout).  Keep:
+            #   * matched pairs satisfying the predicate (ok), and
+            #   * the FIRST stream row of each left row that has no
+            #     qualifying pair — its right payload reads as NULL.
+            env = Env(lcols + rcols, weak=True, cfg=cfg)
+            pred = others[0]
+            for o in others[1:]:
+                pred = M.MBinop(M.LOGAND, pred, o)
+            ok = mul_(sc(env, pred), valid)
+            qualified = complete(Fold(foldop=FSEL, fgroups=pos_(ok),
+                                      fdata=ok))
+            hit_left = gather(li, qualified)
+            refv = sleft.cols[0]
+            has_q = scatter(ones_(hit_left), hit_left, shape=refv)
+            pos = pos_(li)
+            prevpos = binop(M.MAX, sub_(pos, ones_(pos)), zeros_(pos))
+            first = or_(binop(M.NEQ, li, gather(li, prevpos)),
+                        eq_(pos, zeros_(pos)))
+            keep = or_(ok, mul_(first, sub_(ones_(li), gather(has_q, li))))
+            sel = complete(Fold(foldop=FSEL, fgroups=pos_(keep),
+                                fdata=keep))
+            okk = gather(ok, sel)
+            lcols = gather_all(lcols, sel)  # names + nullmasks preserved
+            rcols = [mul_(gather(g, sel), okk).with_(name=g.name,
+                                                     nullmask=okk)
+                     for g in rcols]
         return lcols + rcols
     else:
         raise VirError(f"equijoin variant {r.joinvariant}")

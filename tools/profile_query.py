@@ -21,6 +21,11 @@ import os
 import sys
 import tempfile
 
+# tensorboard_plugin_profile's generated protos predate this image's
+# protobuf; the pure-python parser accepts them (slower, fine for a
+# one-shot summary)
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mplan2vdl_tpu import jaxcfg  # noqa: F401
@@ -51,22 +56,55 @@ def trace_query(q: str, sf: float, iters: int, outdir: str):
 
 
 def summarize(outdir: str, top: int = 25):
+    """Self-time table straight from the xplane proto.
+
+    (tensorboard_plugin_profile's converter is broken in this image —
+    its generated protos and native pywrap predate the installed
+    protobuf/TF — so parse the XSpace directly: the device plane's
+    "XLA Ops" line carries one event per HLO op execution with
+    duration_ps; summing by op name IS the self-time table, since TPU
+    core ops on that line do not overlap.)"""
     paths = sorted(glob.glob(os.path.join(
         outdir, "plugins/profile/*/*.xplane.pb")))
     if not paths:
         print("no xplane.pb found under", outdir, file=sys.stderr)
         return None
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    for tool in ("hlo_stats", "framework_op_stats", "op_profile"):
-        try:
-            data, _ = r2t.xspace_to_tool_data(paths, tool, {})
-        except Exception as e:
-            print(f"# tool {tool} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+    xs = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        xs.ParseFromString(f.read())
+    rows = []
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
             continue
-        return tool, data
-    return None
+        md = plane.event_metadata
+        for ln in plane.lines:
+            if ln.name not in ("XLA Ops", "Async XLA Ops"):
+                continue
+            agg = {}
+            for ev in ln.events:
+                name = md[ev.metadata_id].name
+                tot, cnt = agg.get(name, (0, 0))
+                agg[name] = (tot + ev.duration_ps, cnt + 1)
+            n_mod = sum(len(l2.events) for l2 in plane.lines
+                        if l2.name == "XLA Modules") or 1
+            for name, (tot, cnt) in agg.items():
+                rows.append((tot / 1e6 / n_mod, cnt // n_mod or cnt,
+                             ln.name, name))
+    rows.sort(reverse=True)
+    return rows
+
+
+def print_table(rows, top: int, iters: int):
+    total = sum(r[0] for r in rows if r[2] == "XLA Ops")
+    print(f"  device total {total / 1e3:.3f} ms/iter over {iters} iters"
+          f" ({len(rows)} distinct ops); top {top} by self time:")
+    print(f"  {'us/iter':>10} {'%':>5} {'x':>4}  op")
+    for us, cnt, line, name in rows[:top]:
+        pct = 100.0 * us / total if total else 0.0
+        tag = " [async]" if line != "XLA Ops" else ""
+        print(f"  {us:10.1f} {pct:5.1f} {cnt:4d}  {name[:90]}{tag}")
 
 
 def main():
@@ -89,24 +127,11 @@ def main():
         q = q.strip().zfill(2)
         outdir = args.keep or tempfile.mkdtemp(prefix=f"prof_q{q}_")
         trace_query(q, args.sf, args.iters, outdir)
-        got = summarize(outdir, args.top)
-        if got is None:
+        rows = summarize(outdir, args.top)
+        if rows is None:
             continue
-        tool, data = got
-        print(f"=== q{q} ({tool})")
-        if isinstance(data, bytes):
-            data = data.decode(errors="replace")
-        if tool == "hlo_stats":
-            # tbp returns JSON: {..., "data": [[rank, program, hlo op,
-            # category, ..., occurrences, total time, avg, total self,
-            # ...]]} — column order per its own header row
-            obj = json.loads(data)
-            rows = obj if isinstance(obj, list) else obj.get("data", [])
-            print(json.dumps(rows[:2])[:800])
-            for r in rows[1:args.top + 1]:
-                print(r)
-        else:
-            print(str(data)[:4000])
+        print(f"=== q{q} (xplane self-time)")
+        print_table(rows, args.top, args.iters)
 
 
 if __name__ == "__main__":
