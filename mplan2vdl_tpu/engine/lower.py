@@ -231,14 +231,17 @@ def like_to_regex(pattern: str) -> "re.Pattern":
 
 BLOCK_PAD = 1024  # compacted fold-input lengths round up to this
 
-# dense-domain join: max key-domain width (two D-length int32 run
-# tables, starts + lengths -> 2 x 256MB transient at the 64M cap) and
-# max build-side rows (the side that still sorts — tiny, so the XLA
-# scatter building the run tables stays O(0.5ms)).
+# dense-domain join: max key-domain width (one D-length int32 packed
+# run table -> 256MB transient at the 64M cap) and max build-side rows.
+# The cap is 2^16-1 so run start AND run length each fit 16 bits and
+# pack into ONE int32 table entry (lo | cnt<<16) — halving the
+# per-probe gather work, which self-time profiling showed owns the
+# dense join's cost (profiles/summaries_r05.txt: Q17's three ~7ms
+# small-table kernel launches).
 # MPLAN2VDL_NO_DENSE_JOIN=1 forces sort-merge everywhere (A/B +
 # bisection).
 DENSE_DOMAIN = 1 << 26
-DENSE_RIGHT_MAX = 1 << 16
+DENSE_RIGHT_MAX = (1 << 16) - 1
 
 
 def _dense_join_on() -> bool:
@@ -679,17 +682,20 @@ class Compiler:
             pos, mode="drop")
         cnt_tab = jnp.zeros((D,), jnp.int32).at[slot].add(
             jnp.int32(1), mode="drop")
+        # run start and length both fit 16 bits (m <= DENSE_RIGHT_MAX =
+        # 2^16-1): pack into one int32 entry so each probe pays ONE
+        # table gather; the decode (mask/shift) fuses into consumers
+        packed = lo_tab | (cnt_tab << jnp.int32(16))
         if isinstance(lk, jax.core.Tracer) and _sorted_gather_on():
             if small:
-                lo = small_table_gather(lo_tab, lk, lv.valid)
-                cg = small_table_gather(cnt_tab, lk, lv.valid)
+                pk = small_table_gather(packed, lk, lv.valid)
             else:
                 fit = self.span_fits.get(fitkey)
-                lo = sorted_gather(lo_tab, lk, lv.valid, static_fit=fit)
-                cg = sorted_gather(cnt_tab, lk, lv.valid, static_fit=fit)
+                pk = sorted_gather(packed, lk, lv.valid, static_fit=fit)
         else:
-            lo = lo_tab[lk]
-            cg = cnt_tab[lk]
+            pk = packed[lk]
+        lo = pk & jnp.int32(0xFFFF)
+        cg = (pk >> jnp.int32(16)) & jnp.int32(0xFFFF)
         lidx = jnp.arange(n, dtype=jnp.int64)
         in_dom = ((l_ok >= jnp.asarray(klo, l_ok.dtype))
                   & (l_ok <= jnp.asarray(khi, l_ok.dtype))
@@ -886,8 +892,14 @@ class Compiler:
                 ids_ok = jnp.where(validmask, ids, kdt(domain))
                 if mono and fmask is None:
                     # no mask: validmask is a prefix, so the sentinel
-                    # tail keeps ids_ok sorted; perm is the identity
+                    # tail keeps ids_ok sorted; perm is the identity.
+                    # Record that STATICALLY: data[perm] with an iota is
+                    # NOT free — XLA emits a serialized ~7ns/element
+                    # gather for it (Q18: three 9.9ms identity gathers,
+                    # profiles/summaries_r05.txt) — so _eval_fold skips
+                    # the permutation entirely.
                     sorted_ids, perm = ids_ok, idx.astype(kdt)
+                    art["perm_identity"] = True
                 else:
                     sorted_ids, perm = lax.sort((ids_ok, idx.astype(kdt)),
                                                 num_keys=1)
@@ -956,7 +968,9 @@ class Compiler:
             out = _mask_tail(out.astype(dt), ngroups, L_out)
             return Val(data=out, valid=ngroups, length=L_out)
         else:
-            sorted_data = _mask_tail(data[art["perm"]],
+            permuted = (data if art.get("perm_identity")
+                        else data[art["perm"]])
+            sorted_data = _mask_tail(permuted,
                                      jnp.sum(art["sorted_valid"]
                                              .astype(jnp.int64)), n)
             kidx = jnp.arange(L_out, dtype=jnp.int64)
