@@ -298,6 +298,14 @@ class Compiler:
         # branch (the cond materializes both branches' operands and was
         # Q3's top-traffic instruction)
         self.span_fits = span_fits if span_fits is not None else {}
+        # (fgroups.skey, fmask.skey|None) -> [fdata Vexps] of every Fold
+        # sharing that group (filled by CompiledQuery._run): sparse-path
+        # artifacts CO-SORT these payloads inside the one lax.sort that
+        # builds the permutation (~0.5ns/el/operand) instead of each
+        # fold paying a ~7ns/element serialized XLA gather through
+        # data[perm] (profiles/summaries_r05.txt: the gathers, not the
+        # sorts, owned Q13/Q18-class fold time)
+        self.fold_payloads: Dict[tuple, list] = {}
 
     def _monotone(self, v: V.Vexp) -> bool:
         """Positions/values known non-decreasing: the static rules of
@@ -823,6 +831,15 @@ class Compiler:
         return Val(data=out, valid=valid, length=L)
 
     # ----------------------------------------------------------------- folds
+    def _fold_data(self, fd: V.Vexp, n: int) -> jnp.ndarray:
+        """A fold payload as a length-n vector (for co-sorting)."""
+        dv = self._force(self.eval(fd))
+        d = dv.data[:n]
+        if d.shape[0] < n:
+            d = jnp.concatenate(
+                [d, jnp.zeros((n - d.shape[0],), d.dtype)])
+        return d
+
     def _group_artifacts(self, fgroups: V.Vexp, L_out: int,
                          fmask: Optional[V.Vexp] = None) -> dict:
         key = (fgroups.skey, fmask.skey if fmask is not None else None, L_out)
@@ -873,6 +890,13 @@ class Compiler:
             # orderkey/partkey group-bys): the sort AND the random
             # permutation gather both disappear; perm stays ASCENDING,
             # so downstream data gathers are monotone
+            # payloads of every fold on this (group, mask): co-sorted
+            # with the keys when a sort happens at all (splat-constant
+            # payloads are skipped — their permutation is a no-op)
+            mates = self.fold_payloads.get(
+                (fgroups.skey, fmask.skey if fmask is not None else None),
+                [])
+            mates = [fd for fd in mates if not _is_splat(fd)]
             if n_s < n:
                 nvalid = jnp.sum(validmask.astype(jnp.int64))
                 sel = _sel_positions(validmask)[:n_s]
@@ -884,8 +908,13 @@ class Compiler:
                 if mono:
                     sorted_ids, perm = ids_ok, sel
                 else:
-                    sorted_ids, perm_c = lax.sort(
-                        (ids_ok, jnp.arange(n_s, dtype=kdt)), num_keys=1)
+                    pay = [self._fold_data(fd, n)[sel] for fd in mates]
+                    srt = lax.sort(
+                        (ids_ok, jnp.arange(n_s, dtype=kdt), *pay),
+                        num_keys=1)
+                    sorted_ids, perm_c = srt[0], srt[1]
+                    art["sorted_data"] = {
+                        fd.skey: s for fd, s in zip(mates, srt[2:])}
                     perm = sel[jnp.clip(perm_c, 0, n_s - 1).astype(pdt)]
             else:
                 ids = g.data.astype(kdt)
@@ -901,8 +930,12 @@ class Compiler:
                     sorted_ids, perm = ids_ok, idx.astype(kdt)
                     art["perm_identity"] = True
                 else:
-                    sorted_ids, perm = lax.sort((ids_ok, idx.astype(kdt)),
-                                                num_keys=1)
+                    pay = [self._fold_data(fd, n) for fd in mates]
+                    srt = lax.sort((ids_ok, idx.astype(kdt), *pay),
+                                   num_keys=1)
+                    sorted_ids, perm = srt[0], srt[1]
+                    art["sorted_data"] = {
+                        fd.skey: s for fd, s in zip(mates, srt[2:])}
             sorted_valid = sorted_ids < domain
             prev = jnp.concatenate([sorted_ids[:1] - 1, sorted_ids[:-1]])
             head = sorted_ids != prev
@@ -968,8 +1001,13 @@ class Compiler:
             out = _mask_tail(out.astype(dt), ngroups, L_out)
             return Val(data=out, valid=ngroups, length=L_out)
         else:
-            permuted = (data if art.get("perm_identity")
-                        else data[art["perm"]])
+            cosorted = art.get("sorted_data", {}).get(vx.fdata.skey)
+            if cosorted is not None:
+                permuted = cosorted.astype(dt)
+            elif art.get("perm_identity") or _is_splat(vx.fdata):
+                permuted = data[:art["n"]]
+            else:
+                permuted = data[art["perm"]]
             sorted_data = _mask_tail(permuted,
                                      jnp.sum(art["sorted_valid"]
                                              .astype(jnp.int64)), n)
@@ -1232,6 +1270,37 @@ def dynamic_nodes(roots: List[V.Vexp]):
                 out.append(("join", v))
             elif outer:
                 out.append(("join", v))  # re-resolve with outer count
+
+    for v in roots:
+        go(v)
+    return out
+
+
+def _is_splat(v: V.Vexp) -> bool:
+    """Every element equal (broadcast constant): permutation is a no-op."""
+    return isinstance(v.vx, (V.RangeV, V.RangeC)) and v.vx.rstep == 0
+
+
+def fold_payload_map(roots: List[V.Vexp]) -> dict:
+    """(fgroups.skey, fmask.skey|None) -> [fdata Vexps] for every
+    aggregating Fold, first occurrence order (FSEL groups positions and
+    FDISTINCT sorts (group, value) itself — excluded)."""
+    seen, out = set(), {}
+
+    def go(v: V.Vexp):
+        if v.skey in seen:
+            return
+        seen.add(v.skey)
+        for c in _children(v.vx):
+            go(c)
+        vx = v.vx
+        if (isinstance(vx, V.Fold)
+                and vx.foldop in (V.FSUM, V.FMAX, V.FMIN, V.FCHOOSE)):
+            key = (vx.fgroups.skey,
+                   vx.fmask.skey if vx.fmask is not None else None)
+            lst = out.setdefault(key, [])
+            if all(fd.skey != vx.fdata.skey for fd in lst):
+                lst.append(vx.fdata)
 
     for v in roots:
         go(v)
@@ -1577,6 +1646,7 @@ class CompiledQuery:
         c = Compiler(self.cfg, self.store, self.join_sizes, self.fsel_sizes,
                      self.span_fits, self.fold_counts)
         c.fold_map, c.families = self.fold_map, self.families
+        c.fold_payloads = fold_payload_map(self.vexps)
         vals = c.trace(self.vexps, tables)
         return tuple((v.data, jnp.asarray(v.valid, jnp.int64)) for v in vals)
 

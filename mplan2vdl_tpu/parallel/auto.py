@@ -1026,15 +1026,38 @@ class AutoDistributed:
     def __post_init__(self):
         self.vexps = _rewrite_distinct_folds(self.vexps)
         folds = _collect_folds(self.vexps)
-        if not folds:
-            raise NotDistributable("no aggregate stage")
-        # single-group folds (bounds (0,0): global sums like Q11's having
-        # threshold) coexist with one shared multi-group key; they reduce
-        # into slot 0 of the shared domain and seed a 1-row group frame
-        multi = [f for f in folds if f.vx.fgroups.info.bounds != (0, 0)]
-        g0 = (multi or folds)[0].vx.fgroups
-        domain = g0.info.bounds[1] + 1
-        self.sparse = domain > (1 << 20)
+        # ROWSET mode (r5, VERDICT r4 item 4): plans with no aggregate
+        # stage (pure select/project/join) distribute too — every output
+        # column evaluates shard-locally over the row-sharded fact, and
+        # the edge concatenates each shard's valid prefix in shard order
+        # (row frames follow fact row order, so this IS the single-chip
+        # row order).  The planning machinery below is root-agnostic:
+        # rowset mode plans against the output vexps instead of folds.
+        self.rowset = not folds
+        if self.rowset:
+            terminals = list(self.vexps)
+            if not terminals:
+                raise NotDistributable("empty plan")
+            tcounts = {t.info.count for t in terminals}
+            if len(tcounts) != 1:
+                raise NotDistributable(
+                    "rowset outputs on differing row frames")
+            g0 = None
+            domain = 1
+            self.sparse = False
+            multi = []
+            roots = terminals
+        else:
+            roots = folds
+        if folds:
+            # single-group folds (bounds (0,0): global sums like Q11's
+            # having threshold) coexist with one shared multi-group key;
+            # they reduce into slot 0 of the shared domain and seed a
+            # 1-row group frame
+            multi = [f for f in folds if f.vx.fgroups.info.bounds != (0, 0)]
+            g0 = (multi or folds)[0].vx.fgroups
+            domain = g0.info.bounds[1] + 1
+            self.sparse = domain > (1 << 20)
         same_keys = all(f.vx.fgroups.skey == g0.skey for f in multi)
         # differing key EXPRESSIONS are fine when every fold maps rows into
         # the same dense domain (Q12: the predicated fold keeps raw masked
@@ -1048,8 +1071,9 @@ class AutoDistributed:
         if self.sparse and (len(multi) != len(folds) or not same_keys):
             raise NotDistributable(
                 "sparse group-by with heterogeneous fold keys")
-        if any(f.vx.fgroups.info.count != folds[0].vx.fgroups.info.count
-               for f in folds):
+        if folds and any(
+                f.vx.fgroups.info.count != folds[0].vx.fgroups.info.count
+                for f in folds):
             raise NotDistributable("folds on different row frames")
         if self.sparse:
             # the shuffle path combines every fold through one exchange, so
@@ -1060,14 +1084,16 @@ class AutoDistributed:
                 raise NotDistributable(
                     "sparse group-by with differing fold masks")
         # the fact table carries the plan's row axis: its row count equals
-        # the fold input length bound; when the fold frame is a JOIN
-        # EXPANSION (Q13/Q17/Q2), the probe (left) side of that join
-        row_axis = folds[0].vx.fgroups.info.count
-        loads = sorted({nm for f in folds for nm in _loads_under(f)})
+        # the fold input length bound (rowset mode: the output row bound);
+        # when the row frame is a JOIN EXPANSION (Q13/Q17/Q2), the probe
+        # (left) side of that join
+        row_axis = (folds[0].vx.fgroups.info.count if folds
+                    else roots[0].info.count)
+        loads = sorted({nm for f in roots for nm in _loads_under(f)})
         tabs = {nm[0] for nm in loads}
         if not tabs:
             raise NotDistributable("aggregate stage reads no table")
-        joins = [x for f in folds for x in _joins_under(f)]
+        joins = [x for f in roots for x in _joins_under(f)]
         facts = {t for t in tabs
                  if self.store.table_count((t,)) == row_axis}
         fact_count = row_axis
@@ -1094,11 +1120,11 @@ class AutoDistributed:
         if joins and not self.sparse and os.environ.get(
                 "MPLAN2VDL_NO_PART_JOIN", "0") in ("", "0"):
             part_joins, part_pay, part_skip, part_roots = _plan_part_joins(
-                folds, self.fact, fact_count, self.store)
+                roots, self.fact, fact_count, self.store)
         self.part_joins, self.part_pay = part_joins, part_pay
 
         scatters, replicate, fullsrc, extra_full, full_roots = _plan_regions(
-            folds, self.fact, fact_count, frozenset(part_joins),
+            roots, self.fact, fact_count, frozenset(part_joins),
             frozenset(part_skip), tuple(part_roots))
         if scatters and self.sparse:
             raise NotDistributable(
@@ -1127,7 +1153,7 @@ class AutoDistributed:
             self.join_sizes, self.full_fsel_sizes = {}, {}
         from ..engine.lower import CompiledQuery, dynamic_nodes
 
-        dyn = dynamic_nodes(folds) if joins else []
+        dyn = dynamic_nodes(roots) if joins else []
         if dyn and not self.join_sizes and full_roots:
             pruned = CompiledQuery(self.cfg, full_roots, self.store)
             self.join_sizes.update(pruned.join_sizes)
@@ -1155,7 +1181,7 @@ class AutoDistributed:
         part_tabs = {pj["table"] for pj in part_joins.values()
                      if pj["table"]}
         outside = set(_loads_outside_part(
-            folds, frozenset(part_joins), frozenset(part_skip))) \
+            roots, frozenset(part_joins), frozenset(part_skip))) \
             if part_tabs else set()
         self.part_loads = sorted({nm for nm in self.loads
                                   if nm[0] in part_tabs})
@@ -1232,6 +1258,19 @@ class AutoDistributed:
             "min" if rid else {V.FSUM: "sum", V.FMAX: "max", V.FMIN: "min",
                                V.FCHOOSE: "max"}[f.vx.foldop]
             for f, rid in zip(folds_, rowid_))
+
+        # rowset mode: per-output row-id globalization multipliers (same
+        # chain rules as fold data — local row positions get
+        # rstep*shard_start at the output boundary)
+        terminals_ = tuple(self.vexps) if self.rowset else ()
+        off_t = []
+        for t in terminals_:
+            ot = None if _chain_through(t, global_vals) \
+                else _rowid_chain(t, fact_count)
+            if ot is None and _rowid_leaks(t, fact_count):
+                raise NotDistributable("row-id values leak into outputs")
+            off_t.append(ot)
+        off_t = tuple(off_t)
 
         nf, nd = len(fact_loads), len(dim_loads)
         npart = len(part_loads)
@@ -1487,7 +1526,26 @@ class AutoDistributed:
             occs = tuple(lax.psum(o, "d") for o in occ_locals)
             return tuple(outs) + occs
 
-        self._step = jax.jit(sparse_step if sparse else step)
+        @partial(jax.shard_map, mesh=self.mesh, in_specs=tuple(in_specs),
+                 out_specs=P("d"), check_vma=False)
+        def rowset_step(*all_in):
+            arrays, counts = all_in[:-1], all_in[-1]
+            c = make_shard_compiler(arrays, counts)
+            outs = []
+            for t, ot in zip(terminals_, off_t):
+                val = c._force(c.eval(t))
+                d = val.data
+                if ot:
+                    d = d + (ot * c._start).astype(d.dtype)
+                L = d.shape[0]
+                nv = jnp.asarray(val.valid, jnp.int64)
+                d = jnp.where(jnp.arange(L, dtype=jnp.int64) < nv, d, 0)
+                outs.append(d.reshape(1, -1))
+                outs.append(nv.reshape(1, 1))
+            return tuple(outs)
+
+        self._step = jax.jit(rowset_step if self.rowset
+                             else sparse_step if sparse else step)
 
     def __call__(self):
         args = [self._shard(self.store.columns[nm]) for nm in self.fact_loads]
@@ -1498,6 +1556,22 @@ class AutoDistributed:
                  for nm in self.dim_loads + self.extra_full]
         counts = self._replicated(np.asarray([self.fact_count], np.int64))
         outs = self._step(*args, counts)
+        if self.rowset:
+            # sharded per-output (rows, valid) pairs: concatenate each
+            # shard's valid prefix in shard order == single-chip row order
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                outs = tuple(multihost_utils.process_allgather(o, tiled=True)
+                             for o in outs)
+            cols = []
+            for i, t in enumerate(self.vexps):
+                data = np.asarray(outs[2 * i])
+                valids = np.asarray(outs[2 * i + 1]).reshape(-1)
+                rows = np.concatenate([data[s, :int(valids[s])]
+                                       for s in range(data.shape[0])])
+                cols.append((t.name, t.info.dtype, rows))
+            return cols
         if jax.process_count() > 1 and self.sparse:
             # sparse-path outputs are row-sharded (P('d')): gather the
             # global view on every host for the group stage

@@ -260,3 +260,70 @@ def test_sparse_groupby_with_equijoins_distributes(dist_setup):
     want = sorted(zip(*[np.asarray(c, np.int64).tolist()
                         for c in single.columns]))
     assert got == want
+
+
+# ---------------------------------------------------------------- rowset mode
+def _rowset_run(dist_setup, m):
+    """Distribute a fold-less plan and compare against single chip IN ROW
+    ORDER (rowset mode's contract is order preservation, not just set
+    equality)."""
+    from mplan2vdl_tpu import passes, vir
+    from mplan2vdl_tpu.engine.lower import CompiledQuery
+    from mplan2vdl_tpu.parallel import auto
+
+    store, cfg, mesh = dist_setup
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+    dq = auto.distribute(cfg, store, vexps, mesh)
+    assert dq.rowset, "plan has no aggregate stage but rowset mode off"
+    dist_cols = dq()
+    single = CompiledQuery(cfg, vexps, store)()
+    assert len(dist_cols) == len(single.columns)
+    got = [np.asarray(c, np.int64).tolist() for _, _, c in dist_cols]
+    want = [np.asarray(c, np.int64).tolist() for c in single.columns]
+    assert got == want
+    return got
+
+
+def test_rowset_select_project(dist_setup):
+    """Pure filter+project distributes (VERDICT r4 item 4: no
+    'no aggregate stage' fallback): sharded rows, edge concat."""
+    from mplan2vdl_tpu import mplan as M
+    from mplan2vdl_tpu.mtypes import DDecimal
+
+    li = M.RTable(tablename=("lineitem",),
+                  tablecolumns=((("lineitem", "l_orderkey"), None),
+                                (("lineitem", "l_quantity"), None),
+                                (("lineitem", "l_discount"), None)))
+    sel = M.RSelect(child=li, predicate=M.MBinop(
+        M.LT, M.MRef(("l_quantity",)), M.MLiteral(DDecimal(0), 1500)))
+    m = M.RProject(child=sel, projectout=(
+        (M.MRef(("l_orderkey",)), ("ok",)),
+        (M.MBinop(M.MUL, M.MRef(("l_quantity",)),
+                  M.MRef(("l_discount",))), ("qd",))))
+    got = _rowset_run(dist_setup, m)
+    assert len(got[0]) > 0
+
+
+def test_rowset_fk_join(dist_setup):
+    """Fold-less FK join (lineitem -> orders): the gather-join algebra
+    runs shard-local, outputs stay row-sharded."""
+    from mplan2vdl_tpu import mplan as M
+    from mplan2vdl_tpu.mtypes import DDecimal
+
+    li = M.RTable(tablename=("lineitem",),
+                  tablecolumns=((("lineitem", "l_orderkey"), None),
+                                (("lineitem", "l_extendedprice"), None)))
+    orders = M.RTable(tablename=("orders",),
+                      tablecolumns=((("orders", "o_orderkey"), None),
+                                    (("orders", "o_orderdate"), None)))
+    join = M.RJoin(leftch=li, rightch=orders,
+                   conds=(M.MBinop(M.EQ, M.MRef(("l_orderkey",)),
+                                   M.MRef(("o_orderkey",))),),
+                   joinvariant=M.PLAIN)
+    sel = M.RSelect(child=join, predicate=M.MBinop(
+        M.LT, M.MRef(("o_orderdate",)), M.MLiteral(DDecimal(0), 728000)))
+    m = M.RProject(child=sel, projectout=(
+        (M.MRef(("l_extendedprice",)), ("ep",)),
+        (M.MRef(("o_orderdate",)), ("od",))))
+    got = _rowset_run(dist_setup, m)
+    assert len(got[0]) > 0
