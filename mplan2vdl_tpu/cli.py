@@ -194,8 +194,13 @@ def cmd_run(args):
     from .engine import datagen
     from .engine.lower import CompiledQuery, plan_to_vexps
 
-    store = datagen.generate(sf=args.sf, seed=args.seed,
-                             legacy_fk_names=args.legacy_fk_names)
+    if getattr(args, "tbl", None):
+        from .engine import tblingest
+
+        store = tblingest.from_tbl(args.tbl)
+    else:
+        store = datagen.generate(sf=args.sf, seed=args.seed,
+                                 legacy_fk_names=args.legacy_fk_names)
     cfg = store.make_catalog(cross_product=args.use_cross_product)
     text = open(args.plan).read() if args.plan != "-" else sys.stdin.read()
     vexps = plan_to_vexps(text, cfg)
@@ -264,6 +269,7 @@ def cmd_run(args):
 _VALUE_FLAGS = {"-b", "--bounds", "-t", "--storage", "-s", "--schema",
                 "--dictionary", "-g", "--grainsize", "--sparsity",
                 "--goffset", "--sf", "--seed", "--devices", "--profile",
+                "--tbl",
                 "--hbm-gbps"}
 _SUBCOMMANDS = ("compile", "genplans", "explain", "run")
 
@@ -345,6 +351,9 @@ def main(argv=None):
     pr.add_argument("plan")
     pr.add_argument("--sf", type=float, default=0.01)
     pr.add_argument("--seed", type=int, default=7)
+    pr.add_argument("--tbl", metavar="DIR", default=None,
+                    help="load the database from dbgen .tbl files in DIR "
+                         "instead of generating synthetic data")
     pr.add_argument("--cpu", action="store_true")
     pr.add_argument("--devices", type=int, default=0, metavar="N",
                     help="distribute over an N-device mesh (with --cpu, "
