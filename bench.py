@@ -69,16 +69,7 @@ def load_store(sf: float):
     from mplan2vdl_tpu.engine import datagen
     from mplan2vdl_tpu.engine.columnstore import ColumnStore
 
-    cache = f"/root/.cache/mplan2vdl_store_sf{sf:g}_seed1"
-    if os.path.isdir(cache):
-        store = ColumnStore.load(cache)
-    else:
-        store = datagen.generate(sf=sf, seed=1)
-        try:
-            store.save(cache)
-        except Exception:
-            pass  # cache is best-effort
-    return store
+    return datagen.cached_store(sf, seed=1)
 
 
 def bench_query(store, cfg, qname: str, sf: float, devcache: dict) -> dict:

@@ -131,20 +131,28 @@ def save_store(store, directory: str) -> None:
         fname = f"{tab}.{col}.bin"
         path = os.path.join(directory, fname)
         arr = np.ascontiguousarray(arr)
+        # atomic per-file write (tmp + rename): a concurrent or killed
+        # saver must never leave a truncated column visible under the
+        # final name (r5: a 0-byte region.r_regionkey.bin from exactly
+        # that race broke every region query at SF0.25)
+        tmp = path + f".tmp.{os.getpid()}"
         if lib is not None:
-            rc = lib.cs_write(path.encode(), arr.ctypes.data_as(
+            rc = lib.cs_write(tmp.encode(), arr.ctypes.data_as(
                 ctypes.c_void_p), arr.nbytes)
             if rc != 0:
-                raise IOError(f"native write failed for {path}")
+                raise IOError(f"native write failed for {tmp}")
         else:
-            arr.tofile(path)
+            arr.tofile(tmp)
+        os.replace(tmp, path)
         manifest["columns"][f"{tab}.{col}"] = {
             "file": fname, "dtype": str(arr.dtype), "n": len(arr)}
     for (tab, col), dec in store.decoders.items():
         manifest["decoders"][f"{tab}.{col}"] = {str(k): v
                                                 for k, v in dec.items()}
-    with open(os.path.join(directory, "manifest.json"), "w") as f:
+    mtmp = os.path.join(directory, f"manifest.json.tmp.{os.getpid()}")
+    with open(mtmp, "w") as f:
         json.dump(manifest, f)
+    os.replace(mtmp, os.path.join(directory, "manifest.json"))
 
 
 def load_store(directory: str, tables=None):
@@ -171,6 +179,11 @@ def load_store(directory: str, tables=None):
                 arr = np.fromfile(path, dtype=dtype)
         else:
             arr = np.fromfile(path, dtype=dtype)
+        if len(arr) != info["n"]:
+            raise IOError(
+                f"store cache corrupt: {path} holds {len(arr)} values, "
+                f"manifest says {info['n']} — delete {directory} and "
+                "regenerate")
         store.columns[(tab, col)] = arr
     for key, dec in manifest["decoders"].items():
         tab, col = key.split(".", 1)

@@ -125,15 +125,7 @@ def main():
     from mplan2vdl_tpu.engine import datagen
     from mplan2vdl_tpu.engine.columnstore import ColumnStore
 
-    cache = f"/root/.cache/mplan2vdl_store_sf{args.sf:g}_seed1"
-    if os.path.isdir(cache):
-        store = ColumnStore.load(cache)
-    else:
-        store = datagen.generate(sf=args.sf, seed=1)
-        try:
-            store.save(cache)
-        except Exception:
-            pass
+    store = datagen.cached_store(args.sf, seed=1)
     cfg = store.make_catalog()
     n_li = store.table_count(("lineitem",))
 

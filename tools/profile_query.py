@@ -40,9 +40,7 @@ def trace_query(q: str, sf: float, iters: int, outdir: str):
     from mplan2vdl_tpu.engine.lower import (chunked_device_put,
                                             compile_plan_text)
 
-    cache = f"/root/.cache/mplan2vdl_store_sf{sf:g}_seed1"
-    store = (ColumnStore.load(cache) if os.path.isdir(cache)
-             else datagen.generate(sf=sf, seed=1))
+    store = datagen.cached_store(sf, seed=1)
     cfg = store.make_catalog()
     with open(f"/root/reference/tests/tpch10noorder/{q}.sql.mplan") as f:
         cq = compile_plan_text(f.read(), cfg, store)
