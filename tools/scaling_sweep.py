@@ -28,7 +28,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_at(nprocs: int, q: str, sf: float, reps: int) -> float:
+def run_at(nprocs: int, q: str, sf: float, reps: int,
+           cores_per_proc: int = 1) -> float:
     sys.path.insert(0, os.path.join(REPO, "tests"))
     import test_multiprocess as mp
 
@@ -43,8 +44,14 @@ def run_at(nprocs: int, q: str, sf: float, reps: int) -> float:
     env["MP_SF"] = str(sf)
     env["MP_REPS"] = str(reps)
     ncores = os.cpu_count() or 1
+
+    def corespec(pid: int) -> str:
+        lo = (pid * cores_per_proc) % ncores
+        return ",".join(str((lo + i) % ncores)
+                        for i in range(cores_per_proc))
+
     procs = [subprocess.Popen(
-        ["taskset", "-c", str(pid % ncores),
+        ["taskset", "-c", corespec(pid),
          sys.executable, script, str(pid), str(port), q, str(nprocs),
          "tpch10noorder", "time"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -67,11 +74,18 @@ def main():
     ap.add_argument("--sf", type=float, default=0.05)
     ap.add_argument("--procs", default="1,2,4")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cores-per-proc", type=int, default=1,
+                    help="pin each process to this many dedicated cores "
+                         "(the r5 controlled experiment: 2 procs x 2 "
+                         "cores occupies all 4 cores with a 2-way "
+                         "exchange, separating core oversubscription "
+                         "from exchange cost in the 4-proc droop)")
     args = ap.parse_args()
 
     results = []
     for n in [int(x) for x in args.procs.split(",")]:
-        rps = run_at(n, args.query.zfill(2), args.sf, args.reps)
+        rps = run_at(n, args.query.zfill(2), args.sf, args.reps,
+                     args.cores_per_proc)
         results.append((n, rps))
         print(f"procs={n}: {rps/1e6:.2f}M lineitem-rows/s", flush=True)
     base_n, base = results[0]
