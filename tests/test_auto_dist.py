@@ -213,10 +213,13 @@ def test_describe_distribution_plan(dist_setup, capsys):
     assert "orders.orders_customer" in err  # sharded, never replicated
 
 
-def test_no_aggregate_reports_not_distributable(dist_setup):
-    """A pure projection/join plan has no aggregate stage to shard."""
+def test_no_aggregate_distributes_as_rowset(dist_setup):
+    """A pure projection/join plan distributes via ROWSET mode (r5;
+    until then it raised NotDistributable) and matches single-chip in
+    row order."""
     from mplan2vdl_tpu import mplan, passes, vir
     from mplan2vdl_tpu.engine import datagen
+    from mplan2vdl_tpu.engine.lower import CompiledQuery
     from mplan2vdl_tpu.fe import lexer, plan_parser
     from mplan2vdl_tpu.parallel import auto
 
@@ -229,8 +232,12 @@ def test_no_aggregate_reports_not_distributable(dist_setup):
     m = mplan.fuse_selects(mplan.push_fk_joins(
         mplan.mplan_from_parse_tree(rel, cfg)))
     vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
-    with pytest.raises(auto.NotDistributable):
-        auto.distribute(cfg, store, vexps, mesh)
+    dq = auto.distribute(cfg, store, vexps, mesh)
+    assert dq.rowset
+    got = [np.asarray(c, np.int64).tolist() for _, _, c in dq()]
+    want = [np.asarray(c, np.int64).tolist()
+            for c in CompiledQuery(cfg, vexps, store)().columns]
+    assert got == want
 
 
 def test_sparse_groupby_with_equijoins_distributes(dist_setup):
