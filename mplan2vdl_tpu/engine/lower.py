@@ -1142,9 +1142,31 @@ class Compiler:
             # (the pad concatenates were the fused program's top-traffic
             # instructions — 5 full column copies, ~4GB at Q1 SF10)
             specs = list(fam.specs) + [AggSpec(base=None, bits=1)]
-            out = fused_group_aggregate(
-                cols, gid, specs, fam.domain,
-                interpret=jax.default_backend() != "tpu")
+            interp = jax.default_backend() != "tpu"
+            from .kernels.multiagg_mxu import (fused_group_aggregate_mxu,
+                                               mxu_agg_on)
+
+            if mxu_agg_on():
+                # MXU-contracted sums (kernels/multiagg_mxu.py); FChoose
+                # "max" members (group-key representatives, one narrow
+                # column each) keep the VPU kernel
+                s_idx = [i for i, s in enumerate(specs) if s.op == "sum"]
+                m_idx = [i for i, s in enumerate(specs) if s.op == "max"]
+                out_s = fused_group_aggregate_mxu(
+                    cols, gid, [specs[i] for i in s_idx], fam.domain,
+                    interpret=interp)
+                parts = {i: out_s[:, j] for j, i in enumerate(s_idx)}
+                if m_idx:
+                    out_m = fused_group_aggregate(
+                        cols, gid, [specs[i] for i in m_idx], fam.domain,
+                        interpret=interp)
+                    parts.update(
+                        {i: out_m[:, j] for j, i in enumerate(m_idx)})
+                out = jnp.stack([parts[i] for i in range(len(specs))],
+                                axis=1)
+            else:
+                out = fused_group_aggregate(cols, gid, specs, fam.domain,
+                                            interpret=interp)
             counts = out[:, -1]
             occ = counts > 0
             ngroups = jnp.sum(occ.astype(jnp.int64))

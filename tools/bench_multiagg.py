@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--n", type=int, default=4 * 1024 * 1024)
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--blocks", default=str(BLOCK))
+    ap.add_argument("--mxu", default="",
+                    help="comma list of MXU dot modes to oracle-check + "
+                         "time (transpose,abt)")
     args = ap.parse_args()
     n = -(-args.n // BLOCK) * BLOCK
 
@@ -109,6 +112,47 @@ def main():
         print(f"fused block={blk}: {t_f*1e6:.1f}us {nbytes/t_f/1e9:.0f}GB/s "
               f"({nbytes/t_f/HBM_BW*100:.0f}% roofline) {n/t_f:.3g} rows/s",
               flush=True)
+    if args.mxu:
+        # MXU path contract (engine-planned specs, fuse.py): factors and
+        # row values NON-NEGATIVE, bits = per-row value bound.  Use
+        # Q1-shaped data (discount 0..10, tax 0..8) — the legacy
+        # section's 0..10^4 factor columns violate the contract.
+        from mplan2vdl_tpu.engine.kernels.multiagg_mxu import \
+            fused_group_aggregate_mxu
+
+        mq = [jnp.asarray(rng.integers(0, 5100, size=n).astype(np.int32)),
+              jnp.asarray(rng.integers(0, 10**7, size=n).astype(np.int32)),
+              jnp.asarray(rng.integers(0, 11, size=n).astype(np.int32)),
+              jnp.asarray(rng.integers(0, 9, size=n).astype(np.int32))]
+        mspecs = [AggSpec(base=0, bits=13),
+                  AggSpec(base=1, bits=24),
+                  AggSpec(base=1, factors=((100, -1, 2),), bits=32),
+                  AggSpec(base=1, factors=((100, -1, 2), (100, 1, 3)),
+                          bits=41),
+                  AggSpec(base=2, bits=4),
+                  AggSpec(base=None, bits=1)]
+        want_s = reference_group_aggregate(
+            [np.asarray(c) for c in mq], np.asarray(gid), mspecs,
+            N_GROUPS)
+        for mode in args.mxu.split(","):
+            os.environ["MPLAN2VDL_MXU_DOT"] = mode
+            import mplan2vdl_tpu.engine.kernels.multiagg_mxu as mxm
+            mxm._build.cache_clear()
+            fm = lambda *a: fused_group_aggregate_mxu(  # noqa: E731
+                list(a[:-1]), a[-1], mspecs, N_GROUPS,
+                interpret=not on_tpu)
+            got_m = np.asarray(fm(*mq, gid))
+            ok = np.array_equal(got_m, want_s)
+            print(f"mxu[{mode}] exactness: "
+                  f"{'OK' if ok else 'MISCOMPILE (wrong values)'}",
+                  flush=True)
+            if not ok:
+                continue
+            t_m = time_fn(fm, (*mq, gid), args.iters)
+            print(f"mxu[{mode}]:      {t_m*1e6:.1f}us "
+                  f"{nbytes/t_m/1e9:.0f}GB/s "
+                  f"({nbytes/t_m/HBM_BW*100:.0f}% roofline) "
+                  f"{n/t_m:.3g} rows/s", flush=True)
     t_x = time_fn(xla_baseline, (cols, gid), args.iters)
     print(f"xla_baseline:   {t_x*1e6:.1f}us {nbytes/t_x/1e9:.0f}GB/s "
           f"({nbytes/t_x/HBM_BW*100:.0f}% roofline) {n/t_x:.3g} rows/s")
