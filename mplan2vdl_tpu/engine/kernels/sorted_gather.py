@@ -48,8 +48,14 @@ W = 8192              # DEFAULT source window granularity (elements)
 # site's max block span and picks the smallest window covering it —
 # W=1024 for dense selections moves 8x less HBM per output block than
 # the one-size-fits-all 8192 (VERDICT r3 item 4: the kernel owned the
-# achieved-bw gap on every join query).
-W_OPTIONS = (1024, 2048, 4096, 8192)
+# achieved-bw gap on every join query).  Wide windows (r5) extend
+# coverage to SPARSE selections (down to ~1.5% at W=65536): the
+# dynamic fori sweeps only the sub-tiles a block's span actually
+# touches, so per-block compute tracks the span, not W, and the two
+# 256KB VMEM windows stream at full HBM rate — Q9's ~5%-selectivity
+# join gathers were paying XLA's serialized ~6.6ns/element
+# (profiles/summaries_r05.txt, the 0.54ms s32[81627] fusions).
+W_OPTIONS = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 
 def _wide_gather_on() -> bool:
