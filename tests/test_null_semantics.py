@@ -262,3 +262,30 @@ def test_left_outer_extra_condition_then_null_aggs(setup):
         GROUP BY c.c_custkey""")
     assert any(r[2] == 0 for r in want), "no all-null group generated"
     assert got == want
+
+
+def test_null_aggs_distribute(setup):
+    """The null-aware fold DAG (neutral substitution + count folds +
+    group-stage nz masking) distributes through parallel/auto and
+    matches the single-chip rows."""
+    import jax
+
+    from mplan2vdl_tpu import passes, vir
+    from mplan2vdl_tpu.parallel import auto, dist
+
+    store, cfg, db = setup
+    m = M.RGroupBy(
+        child=_outer((_EQ,)),
+        inputkeys=(((("c_custkey",)), None),),
+        outputaggs=(
+            (M.GFold(M.FCHOOSE, M.MRef(("c_custkey",))), ("k",)),
+            (M.GFold(M.FMIN, M.MRef(("o_totalprice",))), ("mn",)),
+            (M.GAvg(M.MRef(("o_totalprice",))), ("av",)),
+            (M.GCount(col=("o_orderkey",)), ("cn",)),
+        ))
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+    mesh = dist.make_mesh(jax.devices()[:8])
+    dq = auto.distribute(cfg, store, vexps, mesh)
+    got = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                       for _, _, c in dq()]))
+    assert got == _run(store, cfg, m)
