@@ -1860,11 +1860,17 @@ def compile_plan_text(text: str, cfg: Config, store: ColumnStore,
         os.path.expanduser("~/.cache/mplan2vdl_tpu/sizes"))
     preset, path = None, None
     if cache_dir and cache_dir != "0":
-        # "v2": span-fit verdicts joined the record — old-format entries
-        # must miss so fits get resolved instead of silently staying
-        # on the runtime-cond path forever
+        # The version string ALSO keys the kernel window menu: span-fit
+        # verdicts are only optimal relative to W_OPTIONS, so widening
+        # the menu (r5: 16K/32K/64K windows) must miss old records —
+        # a replayed False verdict would silently pin the XLA-gather
+        # fallback on sites the new windows now cover.
+        # ("v2": span-fit verdicts joined the record — old-format
+        # entries must miss so fits get resolved at all.)
+        from .kernels.sorted_gather import W_OPTIONS
+
         key = hashlib.sha256(
-            repr(("v2", text, cleanup, push_joins,
+            repr(("v3", W_OPTIONS, text, cleanup, push_joins,
                   _store_fingerprint(store))).encode()).hexdigest()[:32]
         path = os.path.join(cache_dir, key + ".json")
         try:
