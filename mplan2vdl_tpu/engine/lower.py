@@ -892,11 +892,17 @@ class Compiler:
             # so downstream data gathers are monotone
             # payloads of every fold on this (group, mask): co-sorted
             # with the keys when a sort happens at all (splat-constant
-            # payloads are skipped — their permutation is a no-op)
+            # payloads are skipped — their permutation is a no-op).
+            # Capped: each extra lax.sort operand inflates XLA's sort
+            # lowering COMPILE time (the r3 bisect wall; Q10's 6-payload
+            # sort compiled 304s vs 56s) while saving one ~7ns/el
+            # gather — beyond the cap the remaining folds keep the
+            # data[perm] gather.
+            cap = int(os.environ.get("MPLAN2VDL_COSORT_CAP", "4"))
             mates = self.fold_payloads.get(
                 (fgroups.skey, fmask.skey if fmask is not None else None),
                 [])
-            mates = [fd for fd in mates if not _is_splat(fd)]
+            mates = [fd for fd in mates if not _is_splat(fd)][:cap]
             if n_s < n:
                 nvalid = jnp.sum(validmask.astype(jnp.int64))
                 sel = _sel_positions(validmask)[:n_s]
