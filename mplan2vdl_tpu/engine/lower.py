@@ -149,9 +149,9 @@ def _take_ascending(src: jnp.ndarray, slots: jnp.ndarray,
     if (_sorted_gather_on() and n_out >= 4096
             and isinstance(slots, jax.core.Tracer)
             and src.dtype in (jnp.int32, jnp.int64)):
-        from .kernels.sorted_gather import BLOCK, W, sorted_gather
+        from .kernels.sorted_gather import BLOCK, W_OPTIONS, sorted_gather
 
-        if n_out * W >= int(src.shape[0]) * BLOCK:
+        if n_out * W_OPTIONS[-1] >= int(src.shape[0]) * BLOCK:
             return sorted_gather(src, slots.astype(jnp.int32), n_out,
                                  static_fit=static_fit)
     return src[slots]
@@ -378,17 +378,22 @@ class Compiler:
         if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
             src = self._force(self.eval(vx.shsource))
             pos = self._force(self.eval(vx.shpos))
-            from .kernels.sorted_gather import BLOCK, SMALL_TABLE, W
+            from .kernels.sorted_gather import (BLOCK, SMALL_TABLE,
+                                                W_OPTIONS)
 
             # the two-phase sizing already shrank pos.length to the REAL
             # cardinality, so pos.length/src.length is the selectivity:
-            # below BLOCK/W the windows rarely cover a block's span (the
-            # runtime cond would fall back to XLA while still blocking
-            # XLA's gather fusion — measured -23% on Q19's 0.2%-selective
-            # filters), so skip the kernel statically
+            # below BLOCK/W_max even the widest window rarely covers a
+            # block's span (the runtime cond would fall back to XLA while
+            # still blocking XLA's gather fusion — measured -23% on Q19's
+            # 0.2%-selective filters), so skip the kernel statically.
+            # r5: the menu extends to 64K windows, moving this floor from
+            # 12.5% to ~1.6% — Q9's 5.4%-selective join gathers were
+            # paying XLA's serialized ~6.6ns/element under the old gate.
             use_sorted = (self._monotone(vx.shpos)
                           and src.length >= 4096 and pos.length >= 4096
-                          and pos.length * W >= src.length * BLOCK)
+                          and pos.length * W_OPTIONS[-1]
+                          >= src.length * BLOCK)
             use_small = (src.length <= SMALL_TABLE and pos.length >= 4096)
             if (_sorted_gather_on()
                     and src.data.dtype in (jnp.int32, jnp.int64)

@@ -289,3 +289,32 @@ def test_null_aggs_distribute(setup):
     got = sorted(zip(*[np.asarray(c, np.int64).tolist()
                        for _, _, c in dq()]))
     assert got == _run(store, cfg, m)
+
+
+def test_outer_extra_condition_distributes(setup):
+    """The pair-marking outer join (extra ON conditions) is a DAG of
+    ordinary gathers/folds/scatters over the JOUTER stream — it must
+    ride the distributed planner too (rowset mode: no aggregate
+    stage)."""
+    import jax
+
+    from mplan2vdl_tpu import passes, vir
+    from mplan2vdl_tpu.parallel import auto, dist
+
+    store, cfg, db = setup
+    tp = np.asarray(store.columns[("orders", "o_totalprice")])
+    x = int(np.percentile(tp, 75))
+    join = _outer((_EQ, M.MBinop(M.GT, M.MRef(("o_totalprice",)),
+                                 _lit(x))))
+    m = M.RProject(child=join, projectout=(
+        (M.MRef(("c_custkey",)), ("ck",)),
+        (M.MRef(("o_orderkey",)), ("ok",))))
+    vexps = passes.engine_passes(vir.vexps_from_mplan(m, cfg))
+    mesh = dist.make_mesh(jax.devices()[:8])
+    try:
+        dq = auto.distribute(cfg, store, vexps, mesh)
+    except auto.NotDistributable as e:
+        pytest.skip(f"planner declines this shape: {e}")
+    got = sorted(zip(*[np.asarray(c, np.int64).tolist()
+                       for _, _, c in dq()]))
+    assert got == _run(store, cfg, m)
