@@ -149,9 +149,9 @@ def _take_ascending(src: jnp.ndarray, slots: jnp.ndarray,
     if (_sorted_gather_on() and n_out >= 4096
             and isinstance(slots, jax.core.Tracer)
             and src.dtype in (jnp.int32, jnp.int64)):
-        from .kernels.sorted_gather import BLOCK, W_OPTIONS, sorted_gather
+        from .kernels.sorted_gather import BLOCK, sorted_gather
 
-        if n_out * W_OPTIONS[-1] >= int(src.shape[0]) * BLOCK:
+        if n_out * 16384 >= int(src.shape[0]) * BLOCK:
             return sorted_gather(src, slots.astype(jnp.int32), n_out,
                                  static_fit=static_fit)
     return src[slots]
@@ -387,13 +387,17 @@ class Compiler:
             # block's span (the runtime cond would fall back to XLA while
             # still blocking XLA's gather fusion — measured -23% on Q19's
             # 0.2%-selective filters), so skip the kernel statically.
-            # r5: the menu extends to 64K windows, moving this floor from
-            # 12.5% to ~1.6% — Q9's 5.4%-selective join gathers were
-            # paying XLA's serialized ~6.6ns/element under the old gate.
+            # r5: the menu extends to 64K windows; the floor moves from
+            # 12.5% to 6.25% (W=16384 equivalent).  Measured bracketing
+            # (profiles/chip_batch2.log): the 6-12%-density gathers win
+            # big (Q7 9.6->6.6ms, Q19 2.1->0.9ms, Q10 -15%) but at
+            # ~5% density the per-block window DMAs + sub-tile sweeps
+            # LOSE to XLA's serialized gather (Q9 22.7->28.9ms), so the
+            # widest windows serve only locally-clustered sites that
+            # resolve to them organically, not uniform sparse ones.
             use_sorted = (self._monotone(vx.shpos)
                           and src.length >= 4096 and pos.length >= 4096
-                          and pos.length * W_OPTIONS[-1]
-                          >= src.length * BLOCK)
+                          and pos.length * 16384 >= src.length * BLOCK)
             use_small = (src.length <= SMALL_TABLE and pos.length >= 4096)
             if (_sorted_gather_on()
                     and src.data.dtype in (jnp.int32, jnp.int64)
