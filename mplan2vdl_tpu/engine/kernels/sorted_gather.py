@@ -333,3 +333,201 @@ def sorted_gather(src: jnp.ndarray, pos: jnp.ndarray, valid,
     if static_fit is not None:   # True or an int window size
         return kern_path(src)
     return lax.cond(_spans_fit(posm), kern_path, xla_path, src)
+
+
+# --------------------------------------------------------- multi-source (r5)
+# One kernel launch gathers MANY sources through the SAME positions:
+# Q21's profile showed 95 pallas launches (12.7ms) with the position
+# decode and window DMAs repeated per column (profiles/prof_r05.log).
+# The multi variants share the per-block position decode and sub-tile
+# sweep bounds across k stacked int32 source planes.
+
+def _kernel_multi(starts_ref, pos_ref, win0_ref, win1_ref, o_ref, *,
+                  ts, k):
+    i32 = jnp.int32
+    g = pl.program_id(0)
+    base = starts_ref[g] * i32(ts * BLOCK)
+    off = pos_ref[...] - base
+    c = off & i32(127)
+    t = off >> i32(10)
+    rr = (off >> i32(7)) & i32(7)
+    tmin = jnp.min(t)
+    tmax = jnp.max(t)
+
+    def gather_tile(tile, acc):
+        out_i = jnp.zeros((8, 128), jnp.int32)
+        for s in range(8):
+            row_b = jnp.broadcast_to(tile[s, :][None, :], (8, 128))
+            gs = jnp.take_along_axis(row_b, c, axis=1)
+            out_i = jnp.where(rr == jnp.int32(s), gs, out_i)
+        return acc, out_i
+
+    def body0(i, accs):
+        i = lax.convert_element_type(i, jnp.int32)
+        out = []
+        for j in range(k):
+            acc, out_i = gather_tile(
+                win0_ref[j, pl.ds(i * i32(8), 8), :], accs[j])
+            out.append(acc + jnp.where(t == i, out_i, jnp.int32(0)))
+        return tuple(out)
+
+    def body1(i, accs):
+        i = lax.convert_element_type(i, jnp.int32)
+        out = []
+        for j in range(k):
+            acc, out_i = gather_tile(
+                win1_ref[j, pl.ds((i - i32(ts)) * i32(8), 8), :], accs[j])
+            out.append(acc + jnp.where(t == i, out_i, jnp.int32(0)))
+        return tuple(out)
+
+    accs = tuple(jnp.zeros((8, 128), jnp.int32) for _ in range(k))
+    accs = lax.fori_loop(tmin, jnp.minimum(tmax + i32(1), i32(ts)),
+                         body0, accs)
+    accs = lax.fori_loop(jnp.maximum(tmin, i32(ts)), tmax + i32(1),
+                         body1, accs)
+    for j in range(k):
+        o_ref[j] = accs[j]
+
+
+@functools.cache
+def _build_multi(nblocks: int, nwin: int, m_rows: int, w: int, k: int,
+                 interpret: bool = False):
+    ts = w // BLOCK
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda g, st: (g, 0)),
+                pl.BlockSpec((k, ts * 8, 128),
+                             lambda g, st: (0, st[g], 0)),
+                pl.BlockSpec((k, ts * 8, 128),
+                             lambda g, st: (0, jnp.minimum(st[g] + 1,
+                                                           nwin - 1), 0)),
+            ],
+            out_specs=pl.BlockSpec((k, 8, 128), lambda g, st: (0, g, 0)),
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel_multi, ts=ts, k=k),
+            grid_spec=grid_spec, interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((k, m_rows, 128), jnp.int32))
+
+
+def _gather_i32_multi(srcs, pos: jnp.ndarray, w: int):
+    """k int32 plane gathers sharing monotone positions; same-length
+    sources.  Returns k flat outputs aligned with pos."""
+    k = len(srcs)
+    m = pos.shape[0]
+    m_pad = -(-m // BLOCK) * BLOCK
+    n = srcs[0].shape[0]
+    n_pad = (-(-n // w) + 1) * w
+    stack = jnp.stack(
+        [jnp.zeros((n_pad,), jnp.int32).at[:n].set(s).reshape(-1, 128)
+         for s in srcs])
+    last = pos[m - 1] if m > 0 else jnp.int32(0)
+    posp = jnp.full((m_pad,), last, jnp.int32).at[:m].set(pos)
+    starts = (posp[::BLOCK] // w).astype(jnp.int32)
+    interp = os.environ.get("MPLAN2VDL_PL_INTERPRET", "0") not in ("", "0")
+    f = _build_multi(m_pad // BLOCK, n_pad // w, m_pad // 128, w, k,
+                     interp)
+    with jax.enable_x64(False):
+        out = f(starts, posp.reshape(-1, 128), stack, stack)
+    return [out[j].reshape(-1)[:m] for j in range(k)]
+
+
+def _small_kernel_multi(pos_ref, tab_ref, o_ref, *, nt, k):
+    i32 = jnp.int32
+    off = pos_ref[...]
+    c = off & i32(127)
+    t = off >> i32(10)
+    rr = (off >> i32(7)) & i32(7)
+
+    def body(i, accs):
+        i = lax.convert_element_type(i, jnp.int32)
+        out = []
+        for j in range(k):
+            tile = tab_ref[j, pl.ds(i * i32(8), 8), :]
+            out_i = jnp.zeros((8, 128), jnp.int32)
+            for s in range(8):
+                row_b = jnp.broadcast_to(tile[s, :][None, :], (8, 128))
+                gs = jnp.take_along_axis(row_b, c, axis=1)
+                out_i = jnp.where(rr == jnp.int32(s), gs, out_i)
+            out.append(accs[j] + jnp.where(t == i, out_i, jnp.int32(0)))
+        return tuple(out)
+
+    accs = tuple(jnp.zeros((8, 128), jnp.int32) for _ in range(k))
+    accs = lax.fori_loop(jnp.int32(0), jnp.int32(nt), body, accs)
+    for j in range(k):
+        o_ref[j] = accs[j]
+
+
+@functools.cache
+def _build_small_multi(nblocks: int, nt: int, m_rows: int, k: int,
+                       interpret: bool = False):
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_small_kernel_multi, nt=nt, k=k),
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec((8, 128), lambda g: (g, 0)),
+                      pl.BlockSpec((k, nt * 8, 128), lambda g: (0, 0, 0))],
+            out_specs=pl.BlockSpec((k, 8, 128), lambda g: (0, g, 0)),
+            interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((k, m_rows, 128), jnp.int32))
+
+
+def _gather_small_i32_multi(srcs, pos: jnp.ndarray):
+    k = len(srcs)
+    m = pos.shape[0]
+    m_pad = -(-m // BLOCK) * BLOCK
+    n = srcs[0].shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    stack = jnp.stack(
+        [jnp.zeros((n_pad,), jnp.int32).at[:n].set(s).reshape(-1, 128)
+         for s in srcs])
+    posp = jnp.zeros((m_pad,), jnp.int32).at[:m].set(pos)
+    interp = os.environ.get("MPLAN2VDL_PL_INTERPRET", "0") not in ("", "0")
+    f = _build_small_multi(m_pad // BLOCK, n_pad // BLOCK, m_pad // 128,
+                           k, interp)
+    with jax.enable_x64(False):
+        out = f(posp.reshape(-1, 128), stack)
+    return [out[j].reshape(-1)[:m] for j in range(k)]
+
+
+def _planes_of(src):
+    """int32/int64 array -> list of int32 planes + a rebuild closure."""
+    if src.dtype == jnp.int32:
+        return [src], lambda ps: ps[0]
+    lo = (src & 0xFFFFFFFF).astype(jnp.uint32).astype(jnp.int32)
+    hi = (src >> 32).astype(jnp.int32)
+    return [lo, hi], lambda ps: ((ps[1].astype(jnp.int64) << 32)
+                                 | ps[0].astype(jnp.uint32)
+                                 .astype(jnp.int64))
+
+
+def gather_many(srcs, pos: jnp.ndarray, valid, static_fit=None,
+                small: bool = False):
+    """``[s[pos] for s in srcs]`` through ONE kernel launch.
+
+    All sources must share a length; dtypes may mix int32/int64 (int64
+    contributes two planes).  ``small=True`` uses the VMEM-resident
+    table sweep (any position order); otherwise positions must be
+    monotone and ``static_fit`` must be a resolved window verdict
+    (True/int) — the caller handles the False/None cases."""
+    m = pos.shape[0]
+    if m == 0 or srcs[0].shape[0] == 0:
+        return [s[jnp.clip(pos, 0, max(s.shape[0] - 1, 0))] for s in srcs]
+    planes, rebuilds, spans = [], [], []
+    for s in srcs:
+        ps, rb = _planes_of(s)
+        spans.append((len(planes), len(ps)))
+        planes.extend(ps)
+        rebuilds.append(rb)
+    if small:
+        posm = jnp.clip(pos, 0, srcs[0].shape[0] - 1).astype(jnp.int32)
+        outs = _gather_small_i32_multi(planes, posm)
+    else:
+        posm = _prep_pos(srcs[0].shape[0], pos, valid)
+        w = (static_fit if isinstance(static_fit, int)
+             and not isinstance(static_fit, bool) else W)
+        outs = _gather_i32_multi(planes, posm, w)
+    return [rb(outs[o:o + n]) for (o, n), rb in zip(spans, rebuilds)]

@@ -306,6 +306,10 @@ class Compiler:
         # data[perm] (profiles/summaries_r05.txt: the gathers, not the
         # sorts, owned Q13/Q18-class fold time)
         self.fold_payloads: Dict[tuple, list] = {}
+        # pos.skey -> ((gather node, reachability set), ...): gathers
+        # sharing positions batch into one kernel launch (gather_many);
+        # filled by CompiledQuery._run
+        self.gather_mates: Dict[int, tuple] = {}
 
     def _monotone(self, v: V.Vexp) -> bool:
         """Positions/values known non-decreasing: the static rules of
@@ -419,13 +423,9 @@ class Compiler:
                             src.length, pos.data, pos.valid)
                     p = jnp.clip(pos.data, 0, src.length - 1)
                     data = src.data[p].astype(dt)
-                elif use_sorted:
-                    data = sorted_gather(
-                        src.data, pos.data, pos.valid,
-                        static_fit=self.span_fits.get(v.skey)).astype(dt)
                 else:
-                    data = small_table_gather(src.data, pos.data,
-                                              pos.valid).astype(dt)
+                    data = self._group_gather(
+                        v, vx, src, pos, sorted_mode=use_sorted).astype(dt)
             else:
                 p = jnp.clip(pos.data, 0, src.length - 1)
                 data = src.data[p].astype(dt)
@@ -838,6 +838,60 @@ class Compiler:
             raise ValueError(f"unknown binop {op}")
         out = _mask_tail(out.astype(dt), valid, L)
         return Val(data=out, valid=valid, length=L)
+
+    # ------------------------------------------------------- grouped gathers
+    def _group_gather(self, v: V.Vexp, vx, src, pos, sorted_mode: bool):
+        """Kernel gather that BATCHES every other gather node sharing
+        these positions (same source length, same kernel branch/window)
+        into one launch (kernels/sorted_gather.gather_many) — Q21's
+        profile counted 95 single-column launches repeating the same
+        position decode and window DMAs (profiles/prof_r05.log).
+        Results cache per member node; ``gather_mates`` carries
+        per-member reachability sets so a mate whose source depends on
+        the node being evaluated is never pulled in (no recursion)."""
+        from .kernels.sorted_gather import (gather_many,
+                                            small_table_gather,
+                                            sorted_gather)
+
+        cache = getattr(self, "gather_multi", None)
+        if cache is None:
+            cache = self.gather_multi = {}
+        hit = cache.get(v.skey)
+        if hit is not None:
+            return hit
+        fit = self.span_fits.get(v.skey)
+        # batching needs a RESOLVED window verdict in sorted mode (the
+        # multi kernel has no runtime-cond fallback); unresolved sites
+        # keep the single-source path with its lax.cond
+        batch_ok = (not sorted_mode) or fit is True or (
+            isinstance(fit, int) and not isinstance(fit, bool))
+        mates = []
+        seen_src = {vx.shsource.skey}
+        for g2, reach in (self.gather_mates.get(vx.shpos.skey, ())
+                          if batch_ok else ()):
+            if (g2.skey == v.skey or g2.skey in cache
+                    or v.skey in reach
+                    or g2.vx.shsource.skey in seen_src):
+                continue
+            if sorted_mode and self.span_fits.get(g2.skey, fit) != fit:
+                continue
+            m2 = self._force(self.eval(g2.vx.shsource))
+            if (m2.length != src.length
+                    or m2.data.dtype not in (jnp.int32, jnp.int64)):
+                continue
+            seen_src.add(g2.vx.shsource.skey)
+            mates.append((g2, m2))
+        if not mates:
+            if sorted_mode:
+                return sorted_gather(src.data, pos.data, pos.valid,
+                                     static_fit=fit)
+            return small_table_gather(src.data, pos.data, pos.valid)
+        srcs = [src.data] + [m.data for _, m in mates]
+        outs = gather_many(srcs, pos.data, pos.valid, static_fit=fit,
+                           small=not sorted_mode)
+        for (g2, _), o in zip(mates, outs[1:]):
+            cache[g2.skey] = o
+        return outs[0]
 
     # ----------------------------------------------------------------- folds
     def _fold_data(self, fd: V.Vexp, n: int) -> jnp.ndarray:
@@ -1318,6 +1372,46 @@ def _is_splat(v: V.Vexp) -> bool:
     return isinstance(v.vx, (V.RangeV, V.RangeC)) and v.vx.rstep == 0
 
 
+def gather_mate_map(roots: List[V.Vexp]) -> dict:
+    """pos.skey -> [(gather node, reachable-member-skeys)] for every
+    GATHER under roots, grouped by shared position vector.  The
+    reachability set (which OTHER members of the same group appear in
+    this member's source subtree) lets the batched evaluation skip
+    mates that would recurse into the node being evaluated."""
+    seen, groups = set(), {}
+
+    def go(x: V.Vexp):
+        if x.skey in seen:
+            return
+        seen.add(x.skey)
+        for c in _children(x.vx):
+            go(c)
+        if isinstance(x.vx, V.Shuffle) and x.vx.shop == V.GATHER:
+            groups.setdefault(x.vx.shpos.skey, []).append(x)
+
+    for x in roots:
+        go(x)
+    out = {}
+    for pk, nodes in groups.items():
+        if len(nodes) < 2:
+            continue
+        member_keys = {n.skey for n in nodes}
+        entries = []
+        for n in nodes:
+            reach, stack, vis = set(), [n.vx.shsource], set()
+            while stack:
+                y = stack.pop()
+                if y.skey in vis:
+                    continue
+                vis.add(y.skey)
+                if y.skey in member_keys:
+                    reach.add(y.skey)
+                stack.extend(_children(y.vx))
+            entries.append((n, frozenset(reach)))
+        out[pk] = tuple(entries)
+    return out
+
+
 def fold_payload_map(roots: List[V.Vexp]) -> dict:
     """(fgroups.skey, fmask.skey|None) -> [fdata Vexps] for every
     aggregating Fold, first occurrence order (FSEL groups positions and
@@ -1684,6 +1778,7 @@ class CompiledQuery:
                      self.span_fits, self.fold_counts)
         c.fold_map, c.families = self.fold_map, self.families
         c.fold_payloads = fold_payload_map(self.vexps)
+        c.gather_mates = gather_mate_map(self.vexps)
         vals = c.trace(self.vexps, tables)
         return tuple((v.data, jnp.asarray(v.valid, jnp.int64)) for v in vals)
 
