@@ -248,6 +248,20 @@ def _dense_join_on() -> bool:
     return os.environ.get("MPLAN2VDL_NO_DENSE_JOIN", "0") in ("", "0")
 
 
+def _dense_tab(r_ok, ridx, m: int, klo: int, D: int):
+    """(rs_idx, packed run table) for one dense-join build side: sort
+    the small right side (sentinel rows last), scatter run starts and
+    lengths over the domain, pack both 16-bit halves into one int32
+    entry.  Duplicate-safe (.min/.add); sentinels map past D and drop."""
+    rs, rs_idx = lax.sort((r_ok, ridx), num_keys=1)
+    pos = jnp.arange(m, dtype=jnp.int32)
+    slot = (rs - jnp.asarray(klo, rs.dtype)).astype(jnp.int32)
+    lo_tab = jnp.full((D,), m, jnp.int32).at[slot].min(pos, mode="drop")
+    cnt_tab = jnp.zeros((D,), jnp.int32).at[slot].add(jnp.int32(1),
+                                                      mode="drop")
+    return rs_idx, lo_tab | (cnt_tab << jnp.int32(16))
+
+
 def _monotone_positions(v: V.Vexp) -> bool:
     """Positions known sorted ascending at trace time: selection
     compactions (FSel outputs), non-negative ranges, and their gather
@@ -310,6 +324,9 @@ class Compiler:
         # sharing positions batch into one kernel launch (gather_many);
         # filled by CompiledQuery._run
         self.gather_mates: Dict[int, tuple] = {}
+        # lkeys.skey -> ((lkeys, rkeys), ...): joins sharing probe keys
+        # (dense-domain siblings batch their table gathers)
+        self.dense_sibs: Dict[int, tuple] = {}
 
     def _monotone(self, v: V.Vexp) -> bool:
         """Positions/values known non-decreasing: the static rules of
@@ -650,6 +667,28 @@ class Compiler:
         self.join_cache[key] = art
         return art
 
+    def _dense_sib_ok(self, lkeys: V.Vexp, r2: V.Vexp, klo: int,
+                      khi: int) -> bool:
+        """A sibling join's build side may batch only when it spans the
+        SAME dense domain (same klo/khi -> same table length and decode)
+        and its subtree contains no JoinIndex (evaluating it from inside
+        another join's artifact build must not recurse into join
+        machinery)."""
+        klo2 = min(lkeys.info.bounds[0], r2.info.bounds[0])
+        khi2 = max(lkeys.info.bounds[1], r2.info.bounds[1])
+        if (klo2, khi2) != (klo, khi):
+            return False
+        seen, stack = set(), [r2]
+        while stack:
+            y = stack.pop()
+            if y.skey in seen:
+                continue
+            seen.add(y.skey)
+            if isinstance(y.vx, V.JoinIndex):
+                return False
+            stack.extend(_children(y.vx))
+        return True
+
     def _dense_join(self, key, lv, rv, l_ok, r_ok, ridx,
                     klo: int, khi: int, use32: bool, lkeys: V.Vexp):
         """Small-right dense-domain join artifacts, or None if ineligible.
@@ -684,35 +723,66 @@ class Compiler:
                      or isinstance(r_ok, jax.core.Tracer))
         lk = jnp.clip(l_ok.astype(jnp.int32)
                       - jnp.asarray(klo, jnp.int32), 0, D - 1)
+        fit = None
         if not small:
             if eager and fitkey not in self.span_fits:
                 self.span_fits[fitkey] = resolve_fit(D, lk, lv.valid)
             fit = self.span_fits.get(fitkey)
             if not fit:  # unresolved or spans exceed every window
                 return None
-        # sort the small right side; sentinel rows (invalid) sort last
-        rs, rs_idx = lax.sort((r_ok, ridx), num_keys=1)
-        pos = jnp.arange(m, dtype=jnp.int32)
-        slot = (rs - jnp.asarray(klo, rs.dtype)).astype(jnp.int32)
-        # sentinels map past D and drop; .min/.add are duplicate-safe
-        lo_tab = jnp.full((D,), m, jnp.int32).at[slot].min(
-            pos, mode="drop")
-        cnt_tab = jnp.zeros((D,), jnp.int32).at[slot].add(
-            jnp.int32(1), mode="drop")
-        # run start and length both fit 16 bits (m <= DENSE_RIGHT_MAX =
-        # 2^16-1): pack into one int32 entry so each probe pays ONE
-        # table gather; the decode (mask/shift) fuses into consumers
-        packed = lo_tab | (cnt_tab << jnp.int32(16))
-        if isinstance(lk, jax.core.Tracer) and _sorted_gather_on():
-            if small:
-                pk = small_table_gather(packed, lk, lv.valid)
-            else:
-                fit = self.span_fits.get(fitkey)
-                pk = sorted_gather(packed, lk, lv.valid, static_fit=fit)
+        pre = getattr(self, "dense_pre", None)
+        if pre is None:
+            pre = self.dense_pre = {}
+        hit = pre.pop(key, None)
+        if hit is not None:
+            rs_idx, lo, cg = hit
         else:
-            pk = packed[lk]
-        lo = pk & jnp.int32(0xFFFF)
-        cg = (pk >> jnp.int32(16)) & jnp.int32(0xFFFF)
+            rs_idx, packed = _dense_tab(r_ok, ridx, m, klo, D)
+            tracer = (isinstance(lk, jax.core.Tracer)
+                      and _sorted_gather_on())
+            # sibling joins probing the SAME keys over the same domain
+            # (Q17: both its joins probe l_partkey) stack their packed
+            # tables into ONE kernel launch (gather_many) — the probe
+            # decode and sweep are shared, so the second join's table
+            # gather rides nearly free
+            sib_tabs = []
+            if tracer:
+                for l2, r2 in self.dense_sibs.get(key[0], ()):
+                    k2 = (l2.skey, r2.skey)
+                    if (k2 == key or k2 in pre
+                            or not self._dense_sib_ok(lkeys, r2, klo,
+                                                      khi)):
+                        continue
+                    rv2 = self._force(self.eval(r2))
+                    m2 = rv2.length
+                    if not (1 <= m2 <= DENSE_RIGHT_MAX):
+                        continue
+                    ridx2 = jnp.arange(m2, dtype=jnp.int32)
+                    r_ok2 = jnp.where(
+                        ridx2 < jnp.asarray(rv2.valid, jnp.int32),
+                        rv2.data.astype(jnp.int32), jnp.int32(khi + 2))
+                    sib_tabs.append(
+                        (k2, m2) + _dense_tab(r_ok2, ridx2, m2, klo, D))
+            if tracer and sib_tabs:
+                from .kernels.sorted_gather import gather_many
+
+                outs = gather_many(
+                    [packed] + [t[3] for t in sib_tabs], lk, lv.valid,
+                    static_fit=fit, small=small)
+                pk = outs[0]
+                for (k2, m2, rsi2, _), o in zip(sib_tabs, outs[1:]):
+                    pre[k2] = (rsi2, o & jnp.int32(0xFFFF),
+                               (o >> jnp.int32(16)) & jnp.int32(0xFFFF))
+            elif tracer:
+                if small:
+                    pk = small_table_gather(packed, lk, lv.valid)
+                else:
+                    pk = sorted_gather(packed, lk, lv.valid,
+                                       static_fit=fit)
+            else:
+                pk = packed[lk]
+            lo = pk & jnp.int32(0xFFFF)
+            cg = (pk >> jnp.int32(16)) & jnp.int32(0xFFFF)
         lidx = jnp.arange(n, dtype=jnp.int64)
         in_dom = ((l_ok >= jnp.asarray(klo, l_ok.dtype))
                   & (l_ok <= jnp.asarray(khi, l_ok.dtype))
@@ -1779,6 +1849,11 @@ class CompiledQuery:
         c.fold_map, c.families = self.fold_map, self.families
         c.fold_payloads = fold_payload_map(self.vexps)
         c.gather_mates = gather_mate_map(self.vexps)
+        sibs: Dict[int, list] = {}
+        for lk_, rk_ in join_key_pairs(self.vexps):
+            sibs.setdefault(lk_.skey, []).append((lk_, rk_))
+        c.dense_sibs = {k: tuple(ps) for k, ps in sibs.items()
+                        if len(ps) > 1}
         vals = c.trace(self.vexps, tables)
         return tuple((v.data, jnp.asarray(v.valid, jnp.int64)) for v in vals)
 
