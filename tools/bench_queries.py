@@ -164,8 +164,32 @@ def _transient(e) -> bool:
 
 
 def _write(args, rows, n_li):
+    import json
+
     dev = jax.devices()[0].device_kind
     when = time.strftime("%Y-%m-%d")
+    # merge with the persistent per-query sidecar so a partial run
+    # (single query, A/B remeasure) never truncates the 22-row ledger
+    # (the r4 regression: the Q17 re-measure deleted the whole table)
+    side = args.out + ".json"
+    merged = {}
+    try:
+        with open(side) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if str(merged.get("_sf")) != str(args.sf):
+        merged = {}  # different scale: fresh ledger
+    for r in rows:
+        merged[r["q"]] = r
+    merged["_sf"] = args.sf
+    try:
+        with open(side, "w") as f:
+            json.dump(merged, f)
+    except OSError:
+        pass
+    rows = [merged[q] for q in sorted(k for k in merged
+                                      if not k.startswith("_"))]
     with open(args.out, "w") as f:
         f.write(f"# End-to-end query benchmarks ({dev}, SF{args.sf:g}, "
                 f"lineitem={n_li:,}, measured {when}, one session)\n\n")
