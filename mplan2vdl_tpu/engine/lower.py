@@ -264,13 +264,22 @@ def _dense_tab(r_ok, ridx, m: int, klo: int, D: int):
 
 def _monotone_positions(v: V.Vexp) -> bool:
     """Positions known sorted ascending at trace time: selection
-    compactions (FSel outputs), non-negative ranges, and their gather
-    compositions (monotone of monotone stays monotone)."""
+    compactions (FSel outputs), non-negative ranges, join-index outputs
+    that enumerate the probe side in order (JLEFT = the expansion of
+    ascending probe rows, non-decreasing; JSEMI/JANTI = ascending
+    kept-row positions — NOT the outer sides, whose appended unmatched
+    rows restart low), and their gather compositions (monotone of
+    monotone stays monotone).  Q5's join-payload position chains pass
+    through JLEFT, which kept four 65%-density gathers on XLA's
+    serialized path (lower.py:448 sites in /tmp/q05.hlo, r5)."""
     vx = v.vx
     if isinstance(vx, V.Fold) and vx.foldop == V.FSEL:
         return True
     if isinstance(vx, (V.RangeV, V.RangeC)):
         return vx.rstep >= 0
+    if isinstance(vx, V.JoinIndex) and vx.jside in (V.JLEFT, V.JSEMI,
+                                                    V.JANTI):
+        return True
     if isinstance(vx, V.Shuffle) and vx.shop == V.GATHER:
         return (_monotone_positions(vx.shsource)
                 and _monotone_positions(vx.shpos))
@@ -2055,7 +2064,7 @@ def compile_plan_text(text: str, cfg: Config, store: ColumnStore,
         from .kernels.sorted_gather import W_OPTIONS
 
         key = hashlib.sha256(
-            repr(("v3", W_OPTIONS, text, cleanup, push_joins,
+            repr(("v4", W_OPTIONS, text, cleanup, push_joins,
                   _store_fingerprint(store))).encode()).hexdigest()[:32]
         path = os.path.join(cache_dir, key + ".json")
         try:
