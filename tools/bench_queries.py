@@ -226,6 +226,9 @@ def _write(args, rows, n_li):
                 "set), while the bare query program compiles and runs "
                 "row-exact — a measurement-harness limit, not an "
                 "engine one (VERDICT r3 item 2 diagnosis).\n")
+        f.write("\nAttribution and round-over-round analysis: "
+                "BENCH_ANALYSIS_r05.md (hand-written, not "
+                "regenerated).\n")
         if fails:
             f.write("\n## Failure diagnoses\n\n")
             for r in fails:
